@@ -1,0 +1,233 @@
+"""OPT decoder-only transformer (facebook/opt-125m .. opt-1.3b shapes).
+
+Authored with transformable modules (nnx.Linear / rawnn op wrappers) so the
+Dmx substitution pass intercepts every op the reference would catch by fx
+tracing an HF OPT (reference: modeling/hf.py pipeline over
+transformers.OPTForCausalLM).  Module paths mirror the HF checkpoint layout
+(model.decoder.layers.N.self_attn.q_proj ...) so HF weights map 1:1
+(see hf.load_hf_weights).
+
+Decode path is TPU-native: a static-shape KV cache (preallocated ring
+buffers updated with dynamic_update_slice) so the generation step jits once
+and runs entirely on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from .. import rawnn
+
+
+@dataclasses.dataclass
+class OPTConfig:
+    vocab_size: int = 50272
+    hidden_size: int = 768
+    ffn_dim: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    max_position_embeddings: int = 2048
+    do_layer_norm_before: bool = True
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def opt_125m(cls):
+        return cls()
+
+    @classmethod
+    def opt_350m(cls):
+        return cls(hidden_size=1024, ffn_dim=4096, num_hidden_layers=24,
+                   num_attention_heads=16, do_layer_norm_before=False)
+
+    @classmethod
+    def opt_1_3b(cls):
+        return cls(hidden_size=2048, ffn_dim=8192, num_hidden_layers=24,
+                   num_attention_heads=32)
+
+    @classmethod
+    def tiny(cls):  # test-sized
+        return cls(vocab_size=512, hidden_size=64, ffn_dim=128,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   max_position_embeddings=64)
+
+
+class KVCache(nnx.Module):
+    """Static-shape per-layer KV cache.
+
+    The reference has no KV-cache machinery beyond HF signature plumbing
+    (reference model.py:304-350); a quantized static cache is this build's
+    north-star addition.  Buffers are [B, H, S_max, D]; ``length`` tracks the
+    fill point for dynamic_update_slice writes.
+    """
+
+    def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
+                 dtype=jnp.float32):
+        self.k = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
+        self.v = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
+        self.length = nnx.Variable(jnp.zeros((), jnp.int32))
+
+    def update(self, k_new, v_new):
+        """Append [B,H,T,D] at the fill point; returns full buffers + the new
+        length (functional update of the Variables)."""
+        pos = self.length.value
+        self.k.value = jax.lax.dynamic_update_slice(
+            self.k.value, k_new.astype(self.k.value.dtype), (0, 0, pos, 0)
+        )
+        self.v.value = jax.lax.dynamic_update_slice(
+            self.v.value, v_new.astype(self.v.value.dtype), (0, 0, pos, 0)
+        )
+        self.length.value = pos + k_new.shape[2]
+        return self.k.value, self.v.value, self.length.value
+
+
+class OPTAttention(nnx.Module):
+    def __init__(self, cfg: OPTConfig, *, rngs: nnx.Rngs):
+        d = cfg.hidden_size
+        self.num_heads = cfg.num_attention_heads
+        self.head_dim = d // cfg.num_attention_heads
+        self.scaling = self.head_dim**-0.5
+        self.q_proj = nnx.Linear(d, d, rngs=rngs)
+        self.k_proj = nnx.Linear(d, d, rngs=rngs)
+        self.v_proj = nnx.Linear(d, d, rngs=rngs)
+        self.out_proj = nnx.Linear(d, d, rngs=rngs)
+        self.sdpa = rawnn.ScaledDotProductAttention()
+
+    def _split(self, x):
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+    def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None):
+        B, T, D = x.shape
+        q = self._split(self.q_proj(x))
+        k = self._split(self.k_proj(x))
+        v = self._split(self.v_proj(x))
+        if cache is not None:
+            k, v, _ = cache.update(k, v)
+        out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        return self.out_proj(out)
+
+
+class OPTDecoderLayer(nnx.Module):
+    def __init__(self, cfg: OPTConfig, *, rngs: nnx.Rngs):
+        d = cfg.hidden_size
+        self.do_layer_norm_before = cfg.do_layer_norm_before
+        self.self_attn = OPTAttention(cfg, rngs=rngs)
+        self.self_attn_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.fc1 = nnx.Linear(d, cfg.ffn_dim, rngs=rngs)
+        self.activation_fn = rawnn.ReLU()
+        self.fc2 = nnx.Linear(cfg.ffn_dim, d, rngs=rngs)
+        self.final_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.resadd1 = rawnn.ResAdd()
+        self.resadd2 = rawnn.ResAdd()
+
+    def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None):
+        residual = x
+        if self.do_layer_norm_before:
+            x = self.self_attn_layer_norm(x)
+        x = self.self_attn(x, attn_mask=attn_mask, cache=cache)
+        x = self.resadd1(x, residual)
+        if not self.do_layer_norm_before:
+            x = self.self_attn_layer_norm(x)
+        residual = x
+        if self.do_layer_norm_before:
+            x = self.final_layer_norm(x)
+        x = self.fc2(self.activation_fn(self.fc1(x)))
+        x = self.resadd2(x, residual)
+        if not self.do_layer_norm_before:
+            x = self.final_layer_norm(x)
+        return x
+
+
+class OPTDecoder(nnx.Module):
+    def __init__(self, cfg: OPTConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.embed_tokens = nnx.Embed(cfg.vocab_size, cfg.hidden_size, rngs=rngs)
+        # OPT's learned positions carry a +2 offset (HF convention)
+        self.embed_positions = nnx.Embed(
+            cfg.max_position_embeddings + 2, cfg.hidden_size, rngs=rngs
+        )
+        self.layers = [
+            OPTDecoderLayer(cfg, rngs=rngs) for _ in range(cfg.num_hidden_layers)
+        ]
+        self.final_layer_norm = (
+            nnx.LayerNorm(cfg.hidden_size, rngs=rngs) if cfg.do_layer_norm_before else None
+        )
+
+    def __call__(self, input_ids, caches=None, position_offset=0):
+        B, T = input_ids.shape
+        x = self.embed_tokens(input_ids)
+        positions = jnp.arange(T) + position_offset + 2
+        x = x + self.embed_positions(positions)[None]
+
+        # causal mask; with a cache, queries attend to all filled slots
+        if caches is not None:
+            S = caches[0].k.value.shape[2]
+            kpos = jnp.arange(S)[None, :]
+            qpos = (jnp.arange(T) + position_offset)[:, None]
+            mask = jnp.where(kpos <= qpos, 0.0, -1e4).astype(x.dtype)
+        else:
+            mask = jnp.where(
+                jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
+            ).astype(x.dtype)
+
+        for i, layer in enumerate(self.layers):
+            x = layer(x, attn_mask=mask, cache=None if caches is None else caches[i])
+        if self.final_layer_norm is not None:
+            x = self.final_layer_norm(x)
+        return x
+
+
+class OPTModel(nnx.Module):
+    def __init__(self, cfg: OPTConfig, *, rngs: nnx.Rngs):
+        self.decoder = OPTDecoder(cfg, rngs=rngs)
+
+    def __call__(self, input_ids, caches=None, position_offset=0):
+        return self.decoder(input_ids, caches=caches, position_offset=position_offset)
+
+
+class OPTForCausalLM(nnx.Module):
+    """OPT with tied LM head; __call__ returns logits."""
+
+    def __init__(self, cfg: OPTConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.model = OPTModel(cfg, rngs=rngs)
+        self.lm_head = rawnn.MatMul()  # tied: logits = h @ E.T
+
+    @property
+    def config(self):
+        return self.cfg
+
+    def __call__(self, input_ids, caches=None, position_offset=0):
+        h = self.model(input_ids, caches=caches, position_offset=position_offset)
+        emb = self.model.decoder.embed_tokens
+        table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
+        return self.lm_head(h, table.T.astype(h.dtype))
+
+    def init_cache(self, batch: int, max_len: int, dtype=None):
+        cfg = self.cfg
+        return [
+            KVCache(
+                batch,
+                cfg.num_attention_heads,
+                max_len,
+                cfg.hidden_size // cfg.num_attention_heads,
+                dtype or cfg.dtype,
+            )
+            for _ in range(cfg.num_hidden_layers)
+        ]
+
+
+def loss_fn(logits, labels):
+    """Next-token cross entropy (perplexity numerator), HF-style shift."""
+    logits = logits[:, :-1]
+    labels = labels[:, 1:]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)

@@ -1,0 +1,7 @@
+from .substitute import (
+    substitute_transform,
+    named_dmx_modules,
+    DMX_AWARE_MAPPING,
+    RAW_OP_MAPPING,
+    default_mapping,
+)
