@@ -1,0 +1,100 @@
+"""Headline benchmark: tokens/sec/chip, OPT-125m decode under BASIC quant.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The model is OPT-125m-shaped (randomly initialized; zero-egress environment),
+transformed to BASIC mode (BFP16_64 weights+acts, BFP32_1 bias, FLOAT16
+outputs — the reference's BASIC rule set) and driven through the static-shape
+KV-cache decode step.  ``vs_baseline`` is quantized tokens/s divided by the
+same model's un-quantized (BASELINE-mode) tokens/s on the same chip — i.e.
+the throughput cost of full fake-quantization; >= 1.0 means quantization is
+free or profitable.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int):
+    from dmx_compressor_tpu.modeling.model import DmxModel
+    from dmx_compressor_tpu.models.opt import OPTForCausalLM
+
+    model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+    dm = DmxModel.from_raw(model)
+    if mode == "basic":
+        dm.to_basic_mode()
+        # production path: fold + pack BFP weights, fused dequant-matmul
+        from dmx_compressor_tpu.ops.compress import compress_for_inference
+
+        compress_for_inference(dm)
+    else:
+        dm.to_baseline_mode()
+
+    caches = model.init_cache(batch, prompt_len + gen_len, dtype=jnp.float32)
+    graphdef, state = nnx.split((model, caches))
+
+    def prefill(state, ids):
+        mod, cs = nnx.merge(graphdef, state)
+        logits = mod(ids, caches=cs, position_offset=0)
+        _, new_state = nnx.split((mod, cs))
+        return new_state, jnp.argmax(logits[:, -1], axis=-1)
+
+    def decode_step(state, tok, pos):
+        mod, cs = nnx.merge(graphdef, state)
+        logits = mod(tok[:, None], caches=cs, position_offset=pos)
+        _, new_state = nnx.split((mod, cs))
+        return new_state, jnp.argmax(logits[:, -1], axis=-1)
+
+    return state, jax.jit(prefill, donate_argnums=0), jax.jit(decode_step, donate_argnums=0)
+
+
+def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=64, reps=3) -> float:
+    state, prefill, decode = build(mode, cfg, prompt_len, gen_len, batch)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
+
+    state, tok = prefill(state, ids)
+    # warmup one decode step (compile)
+    state, tok = decode(state, tok, jnp.int32(prompt_len))
+    jax.block_until_ready(tok)
+
+    best = 0.0
+    pos = prompt_len + 1
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(gen_len - 1):
+            state, tok = decode(state, tok, jnp.int32(pos + i))
+        jax.block_until_ready(tok)
+        dt = time.perf_counter() - t0
+        toks_per_s = batch * (gen_len - 1) / dt
+        best = max(best, toks_per_s)
+    return best
+
+
+def main():
+    from dmx_compressor_tpu.models.opt import OPTConfig
+
+    cfg = OPTConfig.opt_125m()
+    quant = run("basic", cfg)
+    base = run("baseline", cfg)
+    print(
+        json.dumps(
+            {
+                "metric": "opt125m_basic_decode_tokens_per_sec_per_chip",
+                "value": round(quant, 2),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(quant / base, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,12 +39,15 @@ def poly2exp(x: Array, knorm: int = 0, kmax: int = 15, use_exp_large: bool = Tru
     xf = x.astype(jnp.float32)
     if knorm:
         xf = xf * (2.0**-knorm)
-    k = jnp.round(xf * INV_LN2)
-    k = jnp.clip(k, -kmax, kmax if use_exp_large else 0)
-    r = xf - k * LN2
-    # degree-4 minimax-ish polynomial for exp(r), |r| <= ln2/2
+    k_raw = jnp.round(xf * INV_LN2)
+    k = jnp.clip(k_raw, -kmax, kmax if use_exp_large else 0)
+    # hardware range reduction: the mantissa argument is bounded even when the
+    # exponent shift saturates; values below 2^-kmax flush to zero
+    r = jnp.clip(xf - k * LN2, -0.5 * LN2, 0.5 * LN2)
+    # degree-4 polynomial for exp(r), |r| <= ln2/2
     p = 1.0 + r * (1.0 + r * (0.5 + r * (0.16666667 + r * 0.041666668)))
     out = p * jnp.exp2(k)
+    out = jnp.where(k_raw < -kmax, 0.0, out)
     if knorm:
         out = out ** (2.0**knorm)
     return out.astype(x.dtype)

@@ -285,7 +285,7 @@ class OptimalBrainCompressor:
         if mod.weight_cast.format.blocked:
             assert microblock_size % mod.weight_cast.format.block_size == 0
 
-        W = np.asarray(mod.weight.value, np.float32)
+        W = np.array(mod.weight.value, np.float32)  # mutable copy
         orig_shape = W.shape
         if W.ndim > 2:
             W = W.reshape(W.shape[0], -1)

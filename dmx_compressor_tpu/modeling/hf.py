@@ -1,0 +1,325 @@
+"""HuggingFace integration: checkpoint import, pipeline, evaluation.
+
+TPU-native re-design of the reference HF layer
+(reference: src/dmx/compressor/modeling/hf.py).  The reference wraps
+``transformers.pipeline`` and fx-traces the torch model; here HF *checkpoints*
+(safetensors / torch .bin, loaded host-side to numpy) are imported into the
+in-repo model zoo (models/), which is then substituted/configured through the
+standard DmxModel path.  Evaluation reproduces the strided sliding-window
+perplexity loop (hf.py:81-140).
+
+Everything degrades gracefully when offline: tokenizers/datasets are optional
+(zero-egress environments run on pre-tokenized ids).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from .model import DmxConfig, DmxModel
+
+# dataset column names for common LM eval sets (reference hf.py:52-58)
+column_mapping = {
+    "wikitext": "text",
+    "ptb_text_only": "sentence",
+    "lambada": "text",
+    "EleutherAI/lambada_openai": "text",
+}
+
+
+# ---------------------------------------------------------------------------
+# checkpoint import
+# ---------------------------------------------------------------------------
+
+
+def read_hf_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load all tensors of a local HF checkpoint directory to numpy."""
+    tensors: Dict[str, np.ndarray] = {}
+    st_files = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in sorted(st_files):
+            tensors.update(load_file(os.path.join(path, f)))
+        return tensors
+    bin_files = [f for f in os.listdir(path) if f.endswith(".bin")]
+    if bin_files:
+        import torch
+
+        for f in sorted(bin_files):
+            sd = torch.load(
+                os.path.join(path, f), map_location="cpu", weights_only=True
+            )
+            tensors.update({k: v.float().numpy() for k, v in sd.items()})
+        return tensors
+    raise FileNotFoundError(f"no safetensors/bin checkpoint under {path}")
+
+
+def _resolve(obj, path: str):
+    for part in path.split("."):
+        if part.isdigit():
+            obj = obj[int(part)]
+        else:
+            obj = getattr(obj, part)
+    return obj
+
+
+def load_hf_state_dict(model, tensors: Dict[str, np.ndarray]) -> List[str]:
+    """Assign HF-named tensors onto the model tree.
+
+    Handles both raw nnx modules (kernel [in,out] layout) and Dmx modules
+    (torch [out,in] layout).  Returns the list of unmatched keys.
+    """
+    from ..nn.core import DmxModule
+
+    missed = []
+    for name, arr in tensors.items():
+        arr = jnp.asarray(np.asarray(arr, np.float32))
+        parts = name.split(".")
+        leaf = parts[-1]  # weight | bias
+        try:
+            owner = _resolve(model, ".".join(parts[:-1]))
+        except (AttributeError, IndexError, KeyError):
+            missed.append(name)
+            continue
+        if isinstance(owner, DmxModule):
+            target = getattr(owner, leaf, None)
+            if target is None:
+                missed.append(name)
+                continue
+            target.value = arr.astype(target.value.dtype).reshape(target.value.shape)
+        elif isinstance(owner, nnx.Linear):
+            if leaf == "weight":
+                owner.kernel.value = arr.T
+            else:
+                owner.bias.value = arr
+        elif isinstance(owner, nnx.Embed):
+            owner.embedding.value = arr
+        elif isinstance(owner, (nnx.LayerNorm, nnx.RMSNorm)):
+            if leaf == "weight":
+                owner.scale.value = arr
+            else:
+                owner.bias.value = arr
+        else:
+            target = getattr(owner, leaf, None)
+            if target is not None and hasattr(target, "value"):
+                target.value = arr.reshape(target.value.shape)
+            else:
+                missed.append(name)
+    return missed
+
+
+def model_from_checkpoint(path: str, *, dtype=jnp.float32):
+    """Build a zoo model from a local HF checkpoint directory (config.json
+    decides the architecture)."""
+    with open(os.path.join(path, "config.json")) as f:
+        cfg_json = json.load(f)
+    model_type = cfg_json.get("model_type")
+    if model_type == "opt":
+        from ..models.opt import OPTConfig, OPTForCausalLM
+
+        cfg = OPTConfig(
+            vocab_size=cfg_json["vocab_size"],
+            hidden_size=cfg_json["hidden_size"],
+            ffn_dim=cfg_json["ffn_dim"],
+            num_hidden_layers=cfg_json["num_hidden_layers"],
+            num_attention_heads=cfg_json["num_attention_heads"],
+            max_position_embeddings=cfg_json["max_position_embeddings"],
+            do_layer_norm_before=cfg_json.get("do_layer_norm_before", True),
+            dtype=dtype,
+        )
+        model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+    elif model_type == "gpt2":
+        from ..models.gpt2 import GPT2Config, GPT2LMHeadModel
+
+        cfg = GPT2Config.from_hf(cfg_json)
+        model = GPT2LMHeadModel(cfg, rngs=nnx.Rngs(0))
+    elif model_type == "llama":
+        from ..models.llama import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig.from_hf(cfg_json)
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    else:
+        raise NotImplementedError(f"model_type {model_type}")
+    tensors = read_hf_checkpoint(path)
+    converter = getattr(type(model), "hf_tensor_converter", None)
+    if converter is not None:
+        tensors = converter(tensors)
+    missed = load_hf_state_dict(model, tensors)
+    return model, missed
+
+
+# ---------------------------------------------------------------------------
+# perplexity evaluation (reference hf.py:81-140)
+# ---------------------------------------------------------------------------
+
+
+def do_forward_on(
+    model,
+    input_ids: np.ndarray,
+    max_length: Optional[int] = None,
+    stride: Optional[int] = None,
+    batch: int = 1,
+    forward_fn=None,
+) -> Dict[str, float]:
+    """Strided sliding-window NLL over a token stream; ppl = exp(sum nll / N)
+    (reference hf.py:97-140)."""
+    ids = np.asarray(input_ids).reshape(-1)
+    max_length = max_length or 1024
+    stride = stride or max_length
+    if forward_fn is None:
+        graphdef, state = nnx.split(model)
+
+        def forward_fn(window):
+            return nnx.merge(graphdef, state)(window)
+
+        forward_fn = jax.jit(forward_fn)
+
+    seq_len = len(ids)
+    nll_sum = 0.0
+    n_tokens = 0
+    prev_end = 0
+    for begin in range(0, seq_len, stride):
+        end = min(begin + max_length, seq_len)
+        trg_len = end - prev_end
+        window = ids[begin:end]
+        if len(window) < 2:
+            break
+        pad = max_length - len(window)
+        w = np.pad(window, (0, pad)) if pad else window
+        logits = np.asarray(forward_fn(jnp.asarray(w[None], jnp.int32)))[0]
+        logits = logits[: len(window)]
+        logp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+        tgt = jnp.asarray(window[1:])
+        token_nll = -jnp.take_along_axis(logp[:-1], tgt[:, None], axis=-1)[:, 0]
+        # only the last trg_len tokens of the window are scored
+        token_nll = token_nll[-(trg_len if prev_end else len(window) - 1):]
+        nll_sum += float(jnp.sum(token_nll))
+        n_tokens += int(token_nll.shape[0])
+        prev_end = end
+        if end == seq_len:
+            break
+    nll = nll_sum / max(n_tokens, 1)
+    return {"loss": nll, "perplexity": math.exp(nll)}
+
+
+# ---------------------------------------------------------------------------
+# pipeline (reference hf.py:314-361)
+# ---------------------------------------------------------------------------
+
+
+class Pipeline:
+    """Task pipeline over a Dmx-transformed zoo model.
+
+    ``dmx_config`` in {"BASELINE", "BASIC", "FP8"} or a yaml path applies the
+    named rule set at construction (reference dmx_transform, hf.py:31-41).
+    """
+
+    def __init__(
+        self,
+        task: str,
+        model_path: str,
+        dmx_config: Optional[str] = None,
+        tokenizer=None,
+        dtype=jnp.float32,
+    ):
+        self.task = task
+        raw, self.missed_keys = model_from_checkpoint(model_path, dtype=dtype)
+        self.raw_model = raw
+        self.model = DmxModel.from_raw(raw)
+        self.tokenizer = tokenizer
+        if tokenizer is None:
+            try:
+                from transformers import AutoTokenizer
+
+                self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+            except Exception:
+                self.tokenizer = None
+        if dmx_config is not None:
+            self.configure_by_name(dmx_config)
+
+    def configure_by_name(self, name: str) -> None:
+        from .. import config_rules
+
+        if name.upper() in ("BASELINE", "BASIC", "FP8"):
+            self.model.configure(None, *getattr(config_rules, name.upper()))
+        elif os.path.exists(name):
+            self.model.configure(DmxConfig.from_yaml(name))
+        else:
+            raise ValueError(f"unknown dmx_config {name}")
+
+    def evaluate(
+        self,
+        metric: str = "perplexity",
+        dataset_ids: Optional[np.ndarray] = None,
+        dataset: Optional[str] = None,
+        column: Optional[str] = None,
+        max_length: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Perplexity over pre-tokenized ids, or over a datasets split when
+        tokenizer + datasets are available (reference hf.py:188-217)."""
+        if dataset_ids is None:
+            assert self.tokenizer is not None, "need tokenizer or dataset_ids"
+            import datasets as hfds
+
+            col = column or column_mapping.get(dataset, "text")
+            ds = hfds.load_dataset(dataset, split="test")
+            text = "\n\n".join(ds[col])
+            dataset_ids = self.tokenizer(text, return_tensors="np").input_ids
+        max_length = max_length or getattr(
+            self.raw_model.config, "max_position_embeddings", 1024
+        )
+        return self.do_forward_on(dataset_ids, max_length=max_length)
+
+    def do_forward_on(self, input_ids, **kwargs):
+        return do_forward_on(self.raw_model, input_ids, **kwargs)
+
+    def generate(self, input_ids, max_new_tokens: int = 16):
+        """Greedy generation through the static KV cache."""
+        ids = jnp.asarray(input_ids, jnp.int32)
+        B, T = ids.shape
+        caches = self.raw_model.init_cache(B, T + max_new_tokens)
+        graphdef, state = nnx.split((self.raw_model, caches))
+
+        @jax.jit
+        def prefill(state, ids):
+            mod, cs = nnx.merge(graphdef, state)
+            logits = mod(ids, caches=cs, position_offset=0)
+            _, s2 = nnx.split((mod, cs))
+            return s2, jnp.argmax(logits[:, -1], axis=-1)
+
+        @jax.jit
+        def step(state, tok, pos):
+            mod, cs = nnx.merge(graphdef, state)
+            logits = mod(tok[:, None], caches=cs, position_offset=pos)
+            _, s2 = nnx.split((mod, cs))
+            return s2, jnp.argmax(logits[:, -1], axis=-1)
+
+        state, tok = prefill(state, ids)
+        out = [tok]
+        for i in range(max_new_tokens - 1):
+            state, tok = step(state, tok, jnp.int32(T + i))
+            out.append(tok)
+        gen = jnp.stack(out, axis=1)
+        return jnp.concatenate([ids, gen], axis=1)
+
+    def __call__(self, text_or_ids, **kwargs):
+        if isinstance(text_or_ids, str):
+            assert self.tokenizer is not None
+            ids = self.tokenizer(text_or_ids, return_tensors="np").input_ids
+            out = self.generate(ids, **kwargs)
+            return self.tokenizer.batch_decode(np.asarray(out))
+        return self.generate(text_or_ids, **kwargs)
+
+
+def pipeline(task: str, model: str, dmx_config: Optional[str] = None, **kwargs):
+    """Factory mirroring the reference's ``pipeline()`` (hf.py:314-361)."""
+    return Pipeline(task, model, dmx_config=dmx_config, **kwargs)

@@ -1,0 +1,7 @@
+"""In-repo model zoo: authored with transformable modules, HF-checkpoint
+compatible layouts."""
+
+from .lenet import LeNet5
+from .opt import OPTConfig, OPTForCausalLM, KVCache, loss_fn
+from .gpt2 import GPT2Config, GPT2LMHeadModel
+from .llama import LlamaConfig, LlamaForCausalLM

@@ -1,0 +1,197 @@
+"""Llama-family decoder (Llama-2/3, TinyLlama shapes) with GQA and RoPE.
+
+Uses the rawnn RotaryEmbedding / ApplyRotaryPosEmb wrapper modules so the
+substitution pass can intercept RoPE exactly where the reference's tracer
+monkey-patches HF apply_rotary_pos_emb (reference fx/transformer/
+custom_ops.py:7-23, transformer_function_mapping utils.py:68-72).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from .. import rawnn
+from .opt import KVCache
+
+
+@dataclasses.dataclass
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_hf(cls, j):
+        return cls(
+            vocab_size=j["vocab_size"],
+            hidden_size=j["hidden_size"],
+            intermediate_size=j["intermediate_size"],
+            num_hidden_layers=j["num_hidden_layers"],
+            num_attention_heads=j["num_attention_heads"],
+            num_key_value_heads=j.get(
+                "num_key_value_heads", j["num_attention_heads"]
+            ),
+            max_position_embeddings=j.get("max_position_embeddings", 4096),
+            rms_norm_eps=j.get("rms_norm_eps", 1e-5),
+            rope_theta=j.get("rope_theta", 10000.0),
+            tie_word_embeddings=j.get("tie_word_embeddings", False),
+        )
+
+    @classmethod
+    def tiny(cls):
+        return cls(
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=64,
+        )
+
+
+class LlamaAttention(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        d = cfg.hidden_size
+        self.num_heads = cfg.num_attention_heads
+        self.num_kv_heads = cfg.num_key_value_heads
+        self.head_dim = d // cfg.num_attention_heads
+        kv_dim = self.num_kv_heads * self.head_dim
+        self.q_proj = nnx.Linear(d, d, use_bias=False, rngs=rngs)
+        self.k_proj = nnx.Linear(d, kv_dim, use_bias=False, rngs=rngs)
+        self.v_proj = nnx.Linear(d, kv_dim, use_bias=False, rngs=rngs)
+        self.o_proj = nnx.Linear(d, d, use_bias=False, rngs=rngs)
+        self.apply_rope = rawnn.ApplyRotaryPosEmb()
+        self.sdpa = rawnn.ScaledDotProductAttention()
+
+    def _split(self, x, heads):
+        B, T, _ = x.shape
+        return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
+
+    def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None):
+        B, T, D = x.shape
+        q = self._split(self.q_proj(x), self.num_heads)
+        k = self._split(self.k_proj(x), self.num_kv_heads)
+        v = self._split(self.v_proj(x), self.num_kv_heads)
+        q, k = self.apply_rope(q, k, cos, sin)
+        if cache is not None:
+            k, v, _ = cache.update(k, v)
+        out = self.sdpa(q, k, v, attn_mask=attn_mask, enable_gqa=self.num_kv_heads != self.num_heads)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        return self.o_proj(out)
+
+
+class LlamaMLP(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        d, m = cfg.hidden_size, cfg.intermediate_size
+        self.gate_proj = nnx.Linear(d, m, use_bias=False, rngs=rngs)
+        self.up_proj = nnx.Linear(d, m, use_bias=False, rngs=rngs)
+        self.down_proj = nnx.Linear(m, d, use_bias=False, rngs=rngs)
+        self.act_fn = rawnn.SiLU()
+        self.mul = rawnn.Mul()
+
+    def __call__(self, x):
+        return self.down_proj(self.mul(self.act_fn(self.gate_proj(x)), self.up_proj(x)))
+
+
+class LlamaDecoderLayer(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        d = cfg.hidden_size
+        self.self_attn = LlamaAttention(cfg, rngs=rngs)
+        self.mlp = LlamaMLP(cfg, rngs=rngs)
+        self.input_layernorm = rawnn.RMSNorm(d, eps=cfg.rms_norm_eps)
+        self.post_attention_layernorm = rawnn.RMSNorm(d, eps=cfg.rms_norm_eps)
+        self.resadd1 = rawnn.ResAdd()
+        self.resadd2 = rawnn.ResAdd()
+
+    def __call__(self, x, cos, sin, attn_mask=None, cache=None):
+        x = self.resadd1(
+            self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache), x
+        )
+        x = self.resadd2(self.mlp(self.post_attention_layernorm(x)), x)
+        return x
+
+
+class LlamaModel(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.embed_tokens = nnx.Embed(cfg.vocab_size, cfg.hidden_size, rngs=rngs)
+        self.layers = nnx.data(
+            [LlamaDecoderLayer(cfg, rngs=rngs) for _ in range(cfg.num_hidden_layers)]
+        )
+        self.norm = rawnn.RMSNorm(cfg.hidden_size, eps=cfg.rms_norm_eps)
+        self.rotary_emb = rawnn.RotaryEmbedding(
+            cfg.hidden_size // cfg.num_attention_heads, cfg.max_position_embeddings,
+            base=cfg.rope_theta,
+        )
+
+    def __call__(self, input_ids, caches=None, position_offset=0):
+        B, T = input_ids.shape
+        x = self.embed_tokens(input_ids)
+        pos = (jnp.arange(T) + position_offset)[None]
+        cos, sin = self.rotary_emb(x, pos)
+        if caches is not None:
+            S = caches[0].k.value.shape[2]
+            mask = jnp.where(
+                jnp.arange(S)[None, :] <= (jnp.arange(T) + position_offset)[:, None],
+                0.0,
+                -1e4,
+            ).astype(x.dtype)
+        else:
+            mask = jnp.where(
+                jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
+            ).astype(x.dtype)
+        for i, layer in enumerate(self.layers):
+            x = layer(x, cos, sin, attn_mask=mask,
+                      cache=None if caches is None else caches[i])
+        return self.norm(x)
+
+
+class LlamaForCausalLM(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.model = LlamaModel(cfg, rngs=rngs)
+        if cfg.tie_word_embeddings:
+            self.lm_head = rawnn.MatMul()
+        else:
+            self.lm_head = nnx.Linear(
+                cfg.hidden_size, cfg.vocab_size, use_bias=False, rngs=rngs
+            )
+
+    @property
+    def config(self):
+        return self.cfg
+
+    def __call__(self, input_ids, caches=None, position_offset=0):
+        h = self.model(input_ids, caches=caches, position_offset=position_offset)
+        if isinstance(self.lm_head, rawnn.MatMul) or type(self.lm_head).__name__ == "ActActMatMul":
+            emb = self.model.embed_tokens
+            table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
+            return self.lm_head(h, table.T.astype(h.dtype))
+        return self.lm_head(h)
+
+    def init_cache(self, batch: int, max_len: int, dtype=None):
+        cfg = self.cfg
+        return [
+            KVCache(
+                batch,
+                cfg.num_key_value_heads,
+                max_len,
+                cfg.hidden_size // cfg.num_attention_heads,
+                dtype or cfg.dtype,
+            )
+            for _ in range(cfg.num_hidden_layers)
+        ]

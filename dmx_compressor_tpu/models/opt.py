@@ -153,9 +153,9 @@ class OPTDecoder(nnx.Module):
         self.embed_positions = nnx.Embed(
             cfg.max_position_embeddings + 2, cfg.hidden_size, rngs=rngs
         )
-        self.layers = [
+        self.layers = nnx.data([
             OPTDecoderLayer(cfg, rngs=rngs) for _ in range(cfg.num_hidden_layers)
-        ]
+        ])
         self.final_layer_norm = (
             nnx.LayerNorm(cfg.hidden_size, rngs=rngs) if cfg.do_layer_norm_before else None
         )
@@ -212,7 +212,7 @@ class OPTForCausalLM(nnx.Module):
 
     def init_cache(self, batch: int, max_len: int, dtype=None):
         cfg = self.cfg
-        return [
+        return list([
             KVCache(
                 batch,
                 cfg.num_attention_heads,
@@ -221,7 +221,7 @@ class OPTForCausalLM(nnx.Module):
                 dtype or cfg.dtype,
             )
             for _ in range(cfg.num_hidden_layers)
-        ]
+        ])
 
 
 def loss_fn(logits, labels):

@@ -1,0 +1,260 @@
+"""Whisper encoder-decoder (whisper-tiny .. whisper-small shapes).
+
+The encoder front-end convs use the Conv1dUnfold lowering per the reference's
+Whisper recipe (reference experimental.py Conv1dUnfold; BASELINE.md config
+"Whisper-small, approximated conv1d + norm calibration (SLaNC)").  Module
+paths mirror HF WhisperForConditionalGeneration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from .. import rawnn
+from ..nn.experimental import Conv1dUnfold
+from .opt import KVCache
+
+
+@dataclasses.dataclass
+class WhisperConfig:
+    vocab_size: int = 51865
+    num_mel_bins: int = 80
+    d_model: int = 768
+    encoder_layers: int = 12
+    decoder_layers: int = 12
+    encoder_attention_heads: int = 12
+    decoder_attention_heads: int = 12
+    encoder_ffn_dim: int = 3072
+    decoder_ffn_dim: int = 3072
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def small(cls):
+        return cls()
+
+    @classmethod
+    def tiny(cls):
+        return cls(
+            vocab_size=512,
+            num_mel_bins=16,
+            d_model=64,
+            encoder_layers=2,
+            decoder_layers=2,
+            encoder_attention_heads=4,
+            decoder_attention_heads=4,
+            encoder_ffn_dim=128,
+            decoder_ffn_dim=128,
+            max_source_positions=50,
+            max_target_positions=32,
+        )
+
+    @classmethod
+    def from_hf(cls, j):
+        return cls(
+            vocab_size=j["vocab_size"],
+            num_mel_bins=j["num_mel_bins"],
+            d_model=j["d_model"],
+            encoder_layers=j["encoder_layers"],
+            decoder_layers=j["decoder_layers"],
+            encoder_attention_heads=j["encoder_attention_heads"],
+            decoder_attention_heads=j["decoder_attention_heads"],
+            encoder_ffn_dim=j["encoder_ffn_dim"],
+            decoder_ffn_dim=j["decoder_ffn_dim"],
+            max_source_positions=j["max_source_positions"],
+            max_target_positions=j["max_target_positions"],
+        )
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed sinusoidal encoder positions."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+class WhisperAttention(nnx.Module):
+    def __init__(self, d: int, heads: int, *, rngs: nnx.Rngs):
+        self.num_heads = heads
+        self.head_dim = d // heads
+        self.scaling = self.head_dim**-0.5
+        self.q_proj = nnx.Linear(d, d, rngs=rngs)
+        self.k_proj = nnx.Linear(d, d, use_bias=False, rngs=rngs)
+        self.v_proj = nnx.Linear(d, d, rngs=rngs)
+        self.out_proj = nnx.Linear(d, d, rngs=rngs)
+        self.sdpa = rawnn.ScaledDotProductAttention()
+
+    def _split(self, x):
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+    def __call__(self, x, kv=None, attn_mask=None, cache: Optional[KVCache] = None):
+        B, T, D = x.shape
+        kv = x if kv is None else kv
+        q = self._split(self.q_proj(x))
+        k = self._split(self.k_proj(kv))
+        v = self._split(self.v_proj(kv))
+        if cache is not None:
+            k, v, _ = cache.update(k, v)
+        out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
+        return self.out_proj(out.transpose(0, 2, 1, 3).reshape(B, T, D))
+
+
+class WhisperEncoderLayer(nnx.Module):
+    def __init__(self, cfg: WhisperConfig, *, rngs: nnx.Rngs):
+        d = cfg.d_model
+        self.self_attn = WhisperAttention(d, cfg.encoder_attention_heads, rngs=rngs)
+        self.self_attn_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.fc1 = nnx.Linear(d, cfg.encoder_ffn_dim, rngs=rngs)
+        self.activation_fn = rawnn.GELU()
+        self.fc2 = nnx.Linear(cfg.encoder_ffn_dim, d, rngs=rngs)
+        self.final_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.resadd1 = rawnn.ResAdd()
+        self.resadd2 = rawnn.ResAdd()
+
+    def __call__(self, x):
+        x = self.resadd1(self.self_attn(self.self_attn_layer_norm(x)), x)
+        x = self.resadd2(
+            self.fc2(self.activation_fn(self.fc1(self.final_layer_norm(x)))), x
+        )
+        return x
+
+
+class WhisperDecoderLayer(nnx.Module):
+    def __init__(self, cfg: WhisperConfig, *, rngs: nnx.Rngs):
+        d = cfg.d_model
+        self.self_attn = WhisperAttention(d, cfg.decoder_attention_heads, rngs=rngs)
+        self.self_attn_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.encoder_attn = WhisperAttention(d, cfg.decoder_attention_heads, rngs=rngs)
+        self.encoder_attn_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.fc1 = nnx.Linear(d, cfg.decoder_ffn_dim, rngs=rngs)
+        self.activation_fn = rawnn.GELU()
+        self.fc2 = nnx.Linear(cfg.decoder_ffn_dim, d, rngs=rngs)
+        self.final_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.resadd1 = rawnn.ResAdd()
+        self.resadd2 = rawnn.ResAdd()
+        self.resadd3 = rawnn.ResAdd()
+
+    def __call__(self, x, enc, attn_mask=None, cache=None):
+        x = self.resadd1(
+            self.self_attn(self.self_attn_layer_norm(x), attn_mask=attn_mask, cache=cache),
+            x,
+        )
+        x = self.resadd2(self.encoder_attn(self.encoder_attn_layer_norm(x), kv=enc), x)
+        x = self.resadd3(
+            self.fc2(self.activation_fn(self.fc1(self.final_layer_norm(x)))), x
+        )
+        return x
+
+
+class WhisperEncoder(nnx.Module):
+    def __init__(self, cfg: WhisperConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        # unfold-lowered convs (the Whisper recipe's hardware-friendly path)
+        self.conv1 = Conv1dUnfold(cfg.num_mel_bins, cfg.d_model, 3, padding=1, rngs=rngs)
+        self.conv2 = Conv1dUnfold(cfg.d_model, cfg.d_model, 3, stride=2, padding=1, rngs=rngs)
+        self.gelu1 = rawnn.GELU()
+        self.gelu2 = rawnn.GELU()
+        self.embed_positions = nnx.Variable(
+            jnp.asarray(sinusoids(cfg.max_source_positions, cfg.d_model))
+        )
+        self.layers = nnx.data(
+            [WhisperEncoderLayer(cfg, rngs=rngs) for _ in range(cfg.encoder_layers)]
+        )
+        self.layer_norm = nnx.LayerNorm(cfg.d_model, rngs=rngs)
+
+    def __call__(self, input_features):
+        # input_features: [B, mels, frames]
+        x = self.gelu1(self.conv1(input_features))
+        x = self.gelu2(self.conv2(x))
+        x = x.transpose(0, 2, 1)  # [B, T, D]
+        x = x + self.embed_positions.value[None, : x.shape[1]]
+        for layer in self.layers:
+            x = layer(x)
+        return self.layer_norm(x)
+
+
+class WhisperDecoder(nnx.Module):
+    def __init__(self, cfg: WhisperConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.embed_tokens = nnx.Embed(cfg.vocab_size, cfg.d_model, rngs=rngs)
+        self.embed_positions = nnx.Embed(cfg.max_target_positions, cfg.d_model, rngs=rngs)
+        self.layers = nnx.data(
+            [WhisperDecoderLayer(cfg, rngs=rngs) for _ in range(cfg.decoder_layers)]
+        )
+        self.layer_norm = nnx.LayerNorm(cfg.d_model, rngs=rngs)
+
+    def __call__(self, input_ids, enc, caches=None, position_offset=0):
+        B, T = input_ids.shape
+        pos = jnp.arange(T) + position_offset
+        x = self.embed_tokens(input_ids) + self.embed_positions(pos)[None]
+        if caches is not None:
+            S = caches[0].k.value.shape[2]
+            mask = jnp.where(
+                jnp.arange(S)[None, :] <= pos[:, None], 0.0, -1e4
+            ).astype(x.dtype)
+        else:
+            mask = jnp.where(
+                jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
+            ).astype(x.dtype)
+        for i, layer in enumerate(self.layers):
+            x = layer(x, enc, attn_mask=mask,
+                      cache=None if caches is None else caches[i])
+        return self.layer_norm(x)
+
+
+class WhisperModel(nnx.Module):
+    def __init__(self, cfg: WhisperConfig, *, rngs: nnx.Rngs):
+        self.encoder = WhisperEncoder(cfg, rngs=rngs)
+        self.decoder = WhisperDecoder(cfg, rngs=rngs)
+
+
+class WhisperForConditionalGeneration(nnx.Module):
+    def __init__(self, cfg: WhisperConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.model = WhisperModel(cfg, rngs=rngs)
+        self.proj_out = rawnn.MatMul()  # tied to embed_tokens
+
+    @property
+    def config(self):
+        return self.cfg
+
+    def encode(self, input_features):
+        return self.model.encoder(input_features)
+
+    def __call__(self, input_features, decoder_input_ids, caches=None,
+                 position_offset=0):
+        enc = self.model.encoder(input_features)
+        return self.decode(decoder_input_ids, enc, caches, position_offset)
+
+    def decode(self, decoder_input_ids, enc, caches=None, position_offset=0):
+        h = self.model.decoder(decoder_input_ids, enc, caches, position_offset)
+        emb = self.model.decoder.embed_tokens
+        table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
+        return self.proj_out(h, table.T.astype(h.dtype))
+
+    def init_cache(self, batch: int, max_len: int, dtype=None):
+        cfg = self.cfg
+        return [
+            KVCache(batch, cfg.decoder_attention_heads, max_len,
+                    cfg.d_model // cfg.decoder_attention_heads, dtype or cfg.dtype)
+            for _ in range(cfg.decoder_layers)
+        ]
+
+    @staticmethod
+    def hf_tensor_converter(tensors):
+        """HF conv weights [out, in, k] -> unfold GEMM layout [out, in*k]."""
+        out = {}
+        for k, v in tensors.items():
+            if ".conv1.weight" in k or ".conv2.weight" in k:
+                v = np.asarray(v).reshape(v.shape[0], -1)
+            out[k] = v
+        return out

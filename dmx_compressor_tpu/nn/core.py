@@ -78,7 +78,7 @@ class DmxModule(
         self.align_boundary_dtype = True
         self.state_dict_url = state_dict_url
         self.approximator = Approximate()
-        self.approximation_error = None
+        self.approximation_error = nnx.data(None)
         self.aft = None
         self.obc = None
         self.init_casts()

@@ -287,6 +287,18 @@ class _ConvNd(DmxModule):
         self.input_casts["input_cast"].ch_axis = 1
         if self.bias_cast is not None:
             self.bias_cast.block_dim = -1
+        # calling convention of the raw module this one replaces: the internal
+        # pipeline (casts with ch_axis=1, lax conv) is always NCHW; modules
+        # substituted for nnx.Conv (NHWC) adapt at the boundary
+        self.data_format = "NCHW"
+
+    def __call__(self, input, *args, **kwargs):
+        if self.data_format == "NHWC":
+            input = jnp.moveaxis(input, -1, 1)
+        out = super().__call__(input, *args, **kwargs)
+        if self.data_format == "NHWC":
+            out = jnp.moveaxis(out, 1, -1)
+        return out
 
     def _conv(self, x, w):
         nd = self._nd
@@ -356,6 +368,7 @@ class _ConvNd(DmxModule):
         mod.weight.value = kernel.transpose(perm)
         if mod.bias is not None:
             mod.bias.value = raw.bias.value
+        mod.data_format = "NHWC"  # nnx.Conv call convention
         return mod
 
 
@@ -746,8 +759,11 @@ class RMSNorm(DmxModule):
 
     @classmethod
     def from_raw(cls, raw) -> "RMSNorm":
-        scale = raw.scale.value
-        mod = cls(scale.shape[-1], eps=raw.epsilon)
+        # accepts nnx.RMSNorm (.scale/.epsilon) or rawnn.RMSNorm (.weight/.eps)
+        param = getattr(raw, "scale", None) or raw.weight
+        scale = param.value
+        eps = getattr(raw, "epsilon", None) or raw.eps
+        mod = cls(scale.shape[-1], eps=eps)
         mod.weight.value = scale
         return mod
 

@@ -82,7 +82,7 @@ class CastTo(nnx.Module):
         self.physical_dtype = None
         obs_cls = OBSERVERS[observer] if isinstance(observer, str) else observer
         self.observer = obs_cls(dtype=self.format, qscheme=qscheme, ch_axis=self.ch_axis)
-        self.group_observers: list = []
+        self.group_observers = nnx.data([])
         self.scale = QuantState(jnp.ones((1,), jnp.float32))
         self.zero_point = QuantState(jnp.zeros((1,), jnp.int32))
 
@@ -138,7 +138,7 @@ class CastTo(nnx.Module):
             self.observer = observer_cls(
                 dtype=self.format, qscheme=self.qscheme, ch_axis=self.ch_axis
             )
-            self.group_observers = []
+            self.group_observers = nnx.data([])
             self.disable_fake_quant()
             self.enable_observer()
         else:
@@ -153,12 +153,12 @@ class CastTo(nnx.Module):
             n = x.shape[self.ch_axis]
             group_num = math.ceil(n / self.group_size)
             if len(self.group_observers) != group_num:
-                self.group_observers = [
+                self.group_observers = nnx.data([
                     type(self.observer)(
                         dtype=self.format, qscheme=self.qscheme, ch_axis=self.ch_axis
                     )
                     for _ in range(group_num)
-                ]
+                ])
             scales, zps = [], []
             ax = self.ch_axis % x.ndim
             for i, obs in enumerate(self.group_observers):

@@ -1,0 +1,118 @@
+"""Fused BFP dequant + matmul: the TPU speed-of-light inference path.
+
+The reference computes fake-quantized matmuls in fp32 after materializing
+quantized weights each forward (reference torch_modules.py:346-360); there is
+no packed execution path at all.  Here BFP weights live in HBM as int8
+mantissas + per-block int8 exponents (ops/bfp_pack.py) and a Pallas kernel
+dequantizes weight tiles in VMEM on their way into the MXU — HBM traffic for
+weights drops ~4x vs fp32 (~2x vs bf16), which directly bounds decode
+throughput.
+
+Numerics: identical to the simulated path (dequantized values are bit-exact
+reconstructions; the matmul accumulates in fp32 on the MXU either way) —
+verified by tests against the jnp reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bfp_pack import PackedBFP, bfp_unpack
+
+Array = jax.Array
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def bfp_linear_ref(x: Array, w: PackedBFP, bias: Optional[Array] = None) -> Array:
+    """jnp reference path: unpack then matmul (XLA fuses the dequant)."""
+    wf = bfp_unpack(w)
+    y = jnp.matmul(x, wf.T.astype(x.dtype), preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "block_size", "bn"))
+def _bfp_matmul_pallas(
+    x: Array,  # [M, K] f32/bf16
+    man: Array,  # [N, K] int8
+    exp: Array,  # [N, K // block_size] int8
+    precision: int,
+    block_size: int,
+    bn: int = 256,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    N = man.shape[0]
+    bm = max(8, min(128, _ceil_to(M, 8)))
+    grid = (-(-M // bm), -(-N // bn))
+
+    def kernel(x_ref, man_ref, exp_ref, out_ref):
+        m = man_ref[:].astype(jnp.float32)  # [bn, K]
+        e = exp_ref[:].astype(jnp.float32)  # [bn, K // B]
+        scale = jnp.exp2(e + (2 - precision))
+        scale_full = pltpu.repeat(scale, block_size, axis=1)  # [bn, K]
+        w = m * scale_full
+        out_ref[:] = jax.lax.dot_general(
+            x_ref[:].astype(jnp.float32),
+            w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, K), lambda i, j: (j, 0)),
+            pl.BlockSpec((bn, K // block_size), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((_ceil_to(M, bm), _ceil_to(N, bn)), jnp.float32),
+    )(x, man, exp)
+    return out[:M, :N]
+
+
+def bfp_linear(
+    x: Array,
+    w: PackedBFP,
+    bias: Optional[Array] = None,
+    use_pallas: Optional[bool] = None,
+) -> Array:
+    """y = x @ dequant(w).T + bias with fused on-chip dequantization.
+
+    ``x`` may have any leading shape; the last dim contracts against the
+    packed weight's last dim.
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not use_pallas:
+        return bfp_linear_ref(x, w, bias)
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    N = w.mantissa.shape[0]
+    y = _bfp_matmul_pallas(
+        x2, w.mantissa, w.exponent, w.precision, w.block_size
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.reshape(*lead, N).astype(x.dtype)

@@ -1,0 +1,137 @@
+"""Inference compression: freeze fake-quant Linears into packed fused kernels.
+
+``compress_for_inference(dmx_model)`` rewrites every Linear whose weight
+format is BFP into a :class:`PackedBFPLinear`: the weight pipeline (sparsify
+-> smoothquant -> storage cast) is folded once, the result packed into int8
+mantissas + block exponents, and the forward runs the fused Pallas
+dequant-matmul (ops/bfp_linear.py).  Numerics are unchanged — the packed
+reconstruction is bit-exact w.r.t. the fake-quant weight cast — but weights
+occupy ~wl/32 of the fp32 footprint in HBM and are dequantized in VMEM.
+
+This stage has no analogue in the reference (which always recomputes
+fake-quant weights per forward, torch_modules.py:346-360); it is the TPU
+build's production serving path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..nn import modules as dmxnn
+from ..nn.core import DmxModule
+from ..numerics.format import BlockFloatingPoint, Same
+from .bfp_linear import bfp_linear
+from .bfp_pack import PackedBFP, bfp_pack
+
+
+class PackedBFPLinear(DmxModule):
+    """Inference-only Linear with packed BFP weights and fused dequant-matmul."""
+
+    ch_axis = -1
+    win_ch_axis = -1
+    wout_ch_axis = 0
+    has_accum = False
+    has_weight = False  # weight lives packed; no weight casts
+    has_bias = True
+    sparsifiable = False
+
+    def __init__(self, packed: PackedBFP, bias: Optional[jax.Array], src: dmxnn.Linear):
+        self.in_features = src.in_features
+        self.out_features = src.out_features
+        self.has_bias = bias is not None
+        super().__init__()
+        self.weight_mantissa = nnx.Variable(packed.mantissa)
+        self.weight_exponent = nnx.Variable(packed.exponent)
+        self.precision = packed.precision
+        self.block_size = packed.block_size
+        self.bias = nnx.Param(bias) if bias is not None else None
+        # inherit the live input/output/bias casts so activation quantization
+        # and calibration state carry over
+        self.input_casts = src.input_casts
+        self.output_casts = src.output_casts
+        self.bias_cast = src.bias_cast
+        self.input_casts["input_cast"].block_dim = -1
+
+    @property
+    def packed(self) -> PackedBFP:
+        return PackedBFP(
+            self.weight_mantissa.value,
+            self.weight_exponent.value,
+            self.precision,
+            self.block_size,
+        )
+
+    def _forward(self, _input):
+        return bfp_linear(_input, self.packed, bias=self._bias)
+
+    def _flops_for(self, input_shape, output_shape):
+        import numpy as np
+
+        return int(np.prod(input_shape)) * self.out_features
+
+    @classmethod
+    def from_linear(cls, lin: dmxnn.Linear) -> "PackedBFPLinear":
+        fmt = lin.weight_format
+        assert isinstance(fmt, BlockFloatingPoint), (
+            f"PackedBFPLinear requires a BFP weight format, got {fmt!r}"
+        )
+        w = lin.weight.value
+        # fold the pre-cast pipeline once (sparsify -> smoothquant -> storage)
+        if lin.weight_sparsifier is not None:
+            w = lin.weight_sparsifier(w)
+        if lin.smoothquant is not None and not lin.smoothquant.fused_to_weight:
+            w = lin.smoothquant.scale_weight(w)
+        if lin.weight_storage_cast is not None and not isinstance(
+            lin.weight_storage_cast.format, Same
+        ):
+            w = lin.weight_storage_cast(w)
+        packed = bfp_pack(
+            jnp.asarray(w, jnp.float32), fmt.precision, fmt.block_size
+        )
+        bias = None
+        if lin.bias is not None:
+            bias = (
+                lin.bias_cast(lin.bias.value)
+                if lin.bias_cast is not None
+                else lin.bias.value
+            )
+            if lin.bias_cast is not None:  # folded: downstream cast is identity
+                lin.bias_cast.set_format("SAME")
+        return cls(packed, bias, lin)
+
+
+def compress_for_inference(dm) -> int:
+    """Replace BFP-weight Linears in a DmxModel with PackedBFPLinear.
+
+    Returns the number of modules converted.
+    """
+    from ..transform.substitute import _items, _set, _is_module_container
+
+    model = dm.module if hasattr(dm, "module") else dm
+    count = 0
+    seen = set()
+
+    def walk(container):
+        nonlocal count
+        if id(container) in seen:
+            return
+        seen.add(id(container))
+        for key, value in _items(container):
+            if isinstance(key, str) and key.startswith("_"):
+                continue
+            if isinstance(value, dmxnn.Linear) and isinstance(
+                value.weight_format, BlockFloatingPoint
+            ) and value.weight_format.block_size > 1 and (
+                value.in_features % value.weight_format.block_size == 0
+            ):
+                _set(container, key, PackedBFPLinear.from_linear(value))
+                count += 1
+            elif _is_module_container(value) and not isinstance(value, nnx.Variable):
+                walk(value)
+
+    walk(model)
+    return count

@@ -197,14 +197,13 @@ class Sparsify(nnx.Module):
         score_func=None,
         rngs: Optional[nnx.Rngs] = None,
     ):
-        self.score = (
-            nnx.Param(
-                jax.random.uniform(
-                    rngs.params() if rngs else jax.random.key(0), tensor_shape
-                )
+        # shape (0,) placeholder = uninitialized (LazySparsify semantics)
+        self.score = nnx.Param(
+            jax.random.uniform(
+                rngs.params() if rngs else jax.random.key(0), tensor_shape
             )
             if tensor_shape is not None
-            else None
+            else jnp.zeros((0,), jnp.float32)
         )
         self.sparseness: Sparseness = Dense()
         self.backward_mode = "STE"
@@ -229,15 +228,15 @@ class Sparsify(nnx.Module):
             self.plastic = True
 
     def _materialize(self, shape, key=None):
-        if self.score is None or self.score.value.shape != shape:
+        if self.score.value.shape != shape:
             key = key if key is not None else jax.random.key(0)
-            self.score = nnx.Param(jax.random.uniform(key, shape))
+            self.score.value = jax.random.uniform(key, shape)
 
     @property
     def mask(self) -> Optional[Array]:
         if isinstance(self.sparseness, Dense):
             return None
-        assert self.score is not None, "score not materialized yet"
+        assert self.score.value.size > 0, "score not materialized yet"
         return self.sparseness.get_mask(self.score.value)
 
     def __call__(self, x, key: Optional[Array] = None):
@@ -247,7 +246,7 @@ class Sparsify(nnx.Module):
 
         if _eager():
             self._materialize(x.shape, key)
-        assert self.score is not None and self.score.value.shape == x.shape, (
+        assert self.score.value.shape == x.shape, (
             "Sparsify score not materialized; run one eager forward first"
         )
         score = (

@@ -1,0 +1,127 @@
+"""Benchmark harness: per-mode runtime/error/accuracy tables.
+
+TPU-native port of the reference benchmark utilities
+(reference: src/dmx/compressor/utils/benchmark.py).  Modes mirror the
+EVALUATION_MODE enum (benchmark.py:22-27); runtimes come from wall-clock with
+``block_until_ready`` sync plus the XLA-compiled whole-model time, and tables
+print as GitHub markdown like the reference (benchmark.py:175-260).
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class EVALUATION_MODE(str, enum.Enum):
+    VANILLA = "Vanilla"  # raw model, no Dmx wrapping
+    BASELINE = "Baseline"  # Dmx-wrapped, SAME formats
+    FP8 = "FP8"
+    BASIC = "Basic"
+    BASIC_NOVSIMD = "Basic_NoVSIMD"  # BASIC numerics without approximations
+
+
+def _strip_approximations(dm) -> None:
+    from ..functional.approximate import NoApproximation
+
+    for _, m in dm.named_dmx_modules():
+        m.approximator.function = NoApproximation()
+
+
+def configure_mode(dm, mode: EVALUATION_MODE):
+    """Apply a mode's rule set to a DmxModel (reference
+    benchmark.py:30-72)."""
+    from .. import config_rules
+
+    if mode == EVALUATION_MODE.BASELINE:
+        dm.configure(None, *config_rules.BASELINE)
+    elif mode == EVALUATION_MODE.FP8:
+        dm.configure(None, *config_rules.FP8)
+    elif mode == EVALUATION_MODE.BASIC:
+        dm.configure(None, *config_rules.BASIC)
+    elif mode == EVALUATION_MODE.BASIC_NOVSIMD:
+        dm.configure(None, *config_rules.BASIC)
+        _strip_approximations(dm)
+    return dm
+
+
+def measure_runtime(fn: Callable, *args, reps: int = 5, warmup: int = 2) -> float:
+    """Best wall-clock of a device-synchronized callable (seconds)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_mode_perf(
+    build_fn: Callable[[EVALUATION_MODE], Callable],
+    example_args,
+    modes: Optional[List[EVALUATION_MODE]] = None,
+    reps: int = 5,
+) -> Dict[str, Dict[str, float]]:
+    """Whole-model runtime per mode (reference measure_mode_perf,
+    benchmark.py:75-138).  ``build_fn(mode)`` returns the ready-to-call
+    forward for that mode."""
+    modes = modes or list(EVALUATION_MODE)
+    records = {}
+    for mode in modes:
+        fn = build_fn(mode)
+        t = measure_runtime(fn, *example_args, reps=reps)
+        records[mode.value] = {"total_runtime_s": t}
+    return records
+
+
+def measure_model_error(
+    outputs: Dict[str, jax.Array], reference_mode: str = EVALUATION_MODE.VANILLA.value
+) -> Dict[str, Dict[str, float]]:
+    """Output error of each mode vs a reference mode (reference
+    measure_model_error per examples/benchmarking/README.md)."""
+    ref = np.asarray(outputs[reference_mode], np.float64)
+    rows = {}
+    for mode, out in outputs.items():
+        o = np.asarray(out, np.float64)
+        err = np.abs(o - ref)
+        denom = np.abs(ref).max() or 1.0
+        rows[mode] = {
+            "max_abs_err": float(err.max()),
+            "mean_abs_err": float(err.mean()),
+            "rel_err": float(err.max() / denom),
+        }
+    return rows
+
+
+def markdown_table(records: Dict[str, Dict[str, float]], title: str = "") -> str:
+    """GitHub-markdown table like the reference harness prints
+    (benchmark.py:175-260)."""
+    if not records:
+        return ""
+    cols = list(next(iter(records.values())).keys())
+    lines = []
+    if title:
+        lines.append(f"### {title}")
+    lines.append("| mode | " + " | ".join(cols) + " |")
+    lines.append("|---" * (len(cols) + 1) + "|")
+    for mode, row in records.items():
+        vals = [f"{row[c]:.6g}" if isinstance(row[c], float) else str(row[c]) for c in cols]
+        lines.append(f"| {mode} | " + " | ".join(vals) + " |")
+    return "\n".join(lines)
+
+
+def evaluate_vsimd_ops_deltas(
+    basic_time: float, novsimd_time: float
+) -> Dict[str, float]:
+    """Approximation-op runtime delta (reference benchmark.py:141-172)."""
+    return {
+        "basic_s": basic_time,
+        "basic_novsimd_s": novsimd_time,
+        "vsimd_delta_s": basic_time - novsimd_time,
+    }

@@ -15,8 +15,10 @@ import jax
 def eager() -> bool:
     """True when not inside any JAX trace (jit/grad/vmap/scan)."""
     try:
-        return jax.core.trace_state_clean()
-    except AttributeError:  # pragma: no cover - jax internals moved
+        from jax._src import core as _core
+
+        return _core.trace_state_clean()
+    except (ImportError, AttributeError):  # pragma: no cover - internals moved
         return True
 
 

@@ -6,7 +6,7 @@ the same code paths run on real TPU slices unchanged.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# The deployment forces the 'axon' TPU platform into jax_platforms regardless
+# of the env var; tests must NOT touch the (single, exclusively-leased) TPU
+# tunnel, so pin the config explicitly to CPU before any backend init.
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: reruns of the suite skip recompilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @pytest.fixture

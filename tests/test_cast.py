@@ -39,9 +39,19 @@ def test_minmax_observer_per_tensor():
     assert float(obs.min_val.value) == -2.0
     assert float(obs.max_val.value) == 3.0
     scale, zp = obs.calculate_qparams()
-    # symmetric int8 (CSN): qmin=-127, qmax=127 -> scale = 3/127
-    np.testing.assert_allclose(np.asarray(scale), 3.0 / 127, rtol=1e-6)
-    assert int(zp[0]) == 0
+    # affine int8 (CSN qmin=-126..: symmetric format -> qmin=-127, qmax=127):
+    # scale = (max - min)/(qmax - qmin), zp = qmin - round(min/scale)
+    np.testing.assert_allclose(np.asarray(scale), 5.0 / 254, rtol=1e-6)
+    assert int(zp[0]) == -127 - round(-2.0 / (5.0 / 254))
+
+    obs_sym = MinMaxObserver(
+        dtype=Format.from_shorthand("XP[8,0](CSN)"), qscheme="per_tensor_symmetric"
+    )
+    obs_sym(jnp.asarray([-1.0, 3.0]))
+    obs_sym(jnp.asarray([-2.0, 1.0]))
+    s_sym, zp_sym = obs_sym.calculate_qparams()
+    np.testing.assert_allclose(np.asarray(s_sym), 3.0 / 127, rtol=1e-6)
+    assert int(zp_sym[0]) == 0
 
 
 def test_int8_calibration_roundtrip():

@@ -67,10 +67,16 @@ def test_linear_accum_cast_path():
 def test_conv2d_same_matches_raw():
     raw = nnx.Conv(3, 8, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), rngs=nnx.Rngs(0))
     mod = dmxnn.Conv2d.from_raw(raw)
-    x = randf(2, 3, 8, 8)  # NCHW
+    # from_raw preserves nnx.Conv's NHWC calling convention
+    x = randf(2, 8, 8, 3)
     got = np.asarray(mod(x))
-    want = np.asarray(raw(x.transpose(0, 2, 3, 1))).transpose(0, 3, 1, 2)  # NHWC raw
+    want = np.asarray(raw(x))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # direct construction is NCHW (torch/reference convention)
+    mod2 = dmxnn.Conv2d(3, 8, (3, 3), padding=1)
+    y = mod2(randf(2, 3, 8, 8))
+    assert y.shape == (2, 8, 8, 8)
 
 
 def test_embedding_same():
@@ -132,10 +138,14 @@ def test_sdpa_matches_exact():
     sdpa = dmxnn.ScaledDotProductAttention()
     raw = rawnn.ScaledDotProductAttention()
     q, k, v = randf(2, 3, 8, 16), randf(2, 3, 8, 16), randf(2, 3, 8, 16)
+    # NOTE: the compound scales (logits + mask) while exact SDPA scales only
+    # the logits (reference torch_modules.py:145-160), so float masks must be
+    # 0/-10000-style for the two to agree.
+    hard_mask = jnp.where(jnp.asarray(RNG.random((8, 8)) > 0.3), 0.0, -10000.0).astype(jnp.float32)
     for kwargs in [
         {},
         {"is_causal": True},
-        {"attn_mask": randf(8, 8)},
+        {"attn_mask": hard_mask},
         {"scale": 0.3},
     ]:
         got = np.asarray(sdpa(q, k, v, **kwargs))

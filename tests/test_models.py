@@ -1,0 +1,167 @@
+"""Model zoo: forward shapes, KV-cache decode parity, Dmx transform,
+perplexity harness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+import dmx_compressor_tpu as dmx
+from dmx_compressor_tpu.modeling.model import DmxModel
+
+RNG = np.random.default_rng(0)
+
+
+def ids(b, t, vocab=512):
+    return jnp.asarray(RNG.integers(0, vocab, (b, t)), jnp.int32)
+
+
+def test_opt_forward_and_cache_parity():
+    from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig.tiny()
+    model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+    x = ids(2, 8, cfg.vocab_size)
+    full = np.asarray(model(x))
+    assert full.shape == (2, 8, cfg.vocab_size)
+
+    # incremental decode through the KV cache must match the full forward
+    caches = model.init_cache(2, 8)
+    inc = []
+    for t in range(8):
+        logits = model(x[:, t : t + 1], caches=caches, position_offset=t)
+        inc.append(np.asarray(logits)[:, 0])
+    inc = np.stack(inc, axis=1)
+    np.testing.assert_allclose(inc, full, atol=2e-3)
+
+
+def test_opt_basic_mode_runs():
+    from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig.tiny()
+    model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+    x = ids(2, 8, cfg.vocab_size)
+    ref = np.asarray(model(x))
+    dm = DmxModel.from_raw(model)
+    names = {n for n, _ in dm.named_dmx_modules()}
+    assert any("q_proj" in n for n in names)
+    assert any("sdpa" in n for n in names)
+    same = np.asarray(dm(x))
+    np.testing.assert_allclose(same, ref, atol=2e-3)  # SDPA compound fp16 scale
+    dm.to_basic_mode()
+    q = np.asarray(dm(x))
+    assert q.shape == ref.shape
+    assert np.isfinite(q).all()
+    assert not np.allclose(q, ref, atol=1e-6)
+
+
+def test_gpt2_forward_and_cache():
+    from dmx_compressor_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+
+    cfg = GPT2Config.tiny()
+    model = GPT2LMHeadModel(cfg, rngs=nnx.Rngs(0))
+    x = ids(2, 8, cfg.vocab_size)
+    full = np.asarray(model(x))
+    assert full.shape == (2, 8, cfg.vocab_size)
+    caches = model.init_cache(2, 8)
+    logits = model(x[:, :4], caches=caches, position_offset=0)
+    step = model(x[:, 4:5], caches=caches, position_offset=4)
+    np.testing.assert_allclose(np.asarray(step)[:, 0], full[:, 4], atol=2e-3)
+
+
+def test_llama_forward_gqa():
+    from dmx_compressor_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig.tiny()  # kv heads != heads -> GQA path
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    x = ids(2, 8, cfg.vocab_size)
+    full = np.asarray(model(x))
+    assert full.shape == (2, 8, cfg.vocab_size)
+    dm = DmxModel.from_raw(model)
+    dm.to_basic_mode()
+    q = np.asarray(dm(x))
+    assert np.isfinite(q).all()
+    # RoPE module must have been substituted
+    assert any("apply_rope" in n for n, _ in dm.named_dmx_modules())
+
+
+def test_whisper_forward():
+    from dmx_compressor_tpu.models.whisper import (
+        WhisperConfig,
+        WhisperForConditionalGeneration,
+    )
+
+    cfg = WhisperConfig.tiny()
+    model = WhisperForConditionalGeneration(cfg, rngs=nnx.Rngs(0))
+    feats = jnp.asarray(
+        RNG.standard_normal((1, cfg.num_mel_bins, 2 * cfg.max_source_positions)),
+        jnp.float32,
+    )
+    dec = ids(1, 4, cfg.vocab_size)
+    logits = model(feats, dec)
+    assert logits.shape == (1, 4, cfg.vocab_size)
+    dm = DmxModel.from_raw(model)
+    dm.to_basic_mode()
+    q = np.asarray(dm.module(feats, dec))
+    assert np.isfinite(q).all()
+
+
+def test_clip_forward_and_sparsity():
+    from dmx_compressor_tpu.models.clip import CLIPConfig, CLIPModel
+    from dmx_compressor_tpu import nn as dmxnn
+    from dmx_compressor_tpu.modeling.model import DmxConfigRule
+
+    cfg = CLIPConfig.tiny()
+    model = CLIPModel(cfg, rngs=nnx.Rngs(0))
+    img = jnp.asarray(RNG.standard_normal((2, 3, 32, 32)), jnp.float32)
+    txt = ids(2, 8, cfg.text.vocab_size)
+    per_image, per_text = model(txt, img)
+    assert per_image.shape == (2, 2)
+    dm = DmxModel.from_raw(model)
+    dm.to_basic_mode()
+    # BTOPK weight sparsity on the linears (the reference CLIP recipe)
+    dm.configure(
+        None,
+        DmxConfigRule(
+            module_types=(dmxnn.Linear,),
+            name_re=r".*(fc1|fc2).*",
+            module_config=dict(weight_sparseness=dmx.sparseness.BTK8_4_LD),
+        ),
+    )
+    p_i, p_t = dm.module(txt, img)
+    assert np.isfinite(np.asarray(p_i)).all()
+    fc1 = [m for n, m in dm.named_dmx_modules() if n.endswith("fc1")][0]
+    eff = np.asarray(fc1.effective_weight).reshape(fc1.out_features, -1, 8)
+    assert ((eff != 0).sum(-1) <= 4).all()
+
+
+def test_perplexity_harness():
+    from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+    from dmx_compressor_tpu.modeling.hf import do_forward_on
+
+    cfg = OPTConfig.tiny()
+    model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+    stream = np.asarray(RNG.integers(0, cfg.vocab_size, 200))
+    out = do_forward_on(model, stream, max_length=64, stride=64)
+    assert out["perplexity"] > 1.0
+    assert np.isfinite(out["loss"])
+    # random model on random tokens: ppl near vocab size
+    assert 0.2 * cfg.vocab_size < out["perplexity"] < 5 * cfg.vocab_size
+
+
+def test_lenet_with_yaml_config():
+    from dmx_compressor_tpu.models.lenet import LeNet5
+    from dmx_compressor_tpu.modeling.model import DmxConfig
+
+    model = LeNet5(rngs=nnx.Rngs(0))
+    x = jnp.asarray(RNG.standard_normal((2, 1, 28, 28)), jnp.float32)
+    ref = np.asarray(model(x))
+    dm = DmxModel.from_raw(model)
+    dm.configure(DmxConfig.from_yaml("configs/dmx_example_config_lenet5.yaml"))
+    fc1 = dm.get_submodule("fc1")
+    assert repr(fc1.weight_format) == "BFP[8|8]{64}(SN)"
+    assert repr(list(fc1.output_formats.values())[0]) == "FP[1|5|10,15](FN)"
+    q = np.asarray(dm(x))
+    assert q.shape == ref.shape
+    assert 0 < np.abs(q - ref).max() < 1.0

@@ -1,0 +1,141 @@
+"""Packed BFP representation, fused linear, compression transform, and
+experimental conv lowerings."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+import dmx_compressor_tpu as dmx
+from dmx_compressor_tpu import nn as dmxnn
+from dmx_compressor_tpu.numerics.format import Format
+from dmx_compressor_tpu.ops.bfp_pack import (
+    bfp_pack,
+    bfp_unpack,
+    int_group_pack,
+    int_group_unpack,
+)
+from dmx_compressor_tpu.ops.bfp_linear import bfp_linear_ref, bfp_linear
+from dmx_compressor_tpu.ops.compress import compress_for_inference, PackedBFPLinear
+
+RNG = np.random.default_rng(0)
+
+
+def randf(*shape):
+    return jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
+
+
+def test_bfp_pack_matches_fake_quant():
+    """Packed reconstruction must be bit-exact vs the simulated BFP cast."""
+    for prec, bs in [(8, 64), (8, 16), (4, 32)]:
+        x = randf(16, 128) * 10.0
+        packed = bfp_pack(x, prec, bs)
+        got = np.asarray(bfp_unpack(packed))
+        fmt = Format.from_shorthand(f"BFP[{prec}|8]{{{bs}}}(SN)")
+        want = np.asarray(fmt.cast(x, block_dim=-1))
+        np.testing.assert_array_equal(got, want)
+        assert packed.mantissa.dtype == jnp.int8
+        lim = 2 ** (prec - 1)
+        assert np.abs(np.asarray(packed.mantissa)).max() < lim
+
+
+def test_bfp_pack_storage_size():
+    x = randf(64, 128)
+    p = bfp_pack(x, 8, 64)
+    bytes_packed = p.mantissa.size + p.exponent.size
+    assert bytes_packed == 64 * 128 + 64 * 2  # ~4x smaller than fp32
+
+
+def test_bfp_linear_ref_matches_fake_quant_matmul():
+    x = randf(4, 128)
+    w = randf(32, 128)
+    b = randf(32)
+    packed = bfp_pack(w, 8, 64)
+    got = np.asarray(bfp_linear_ref(x, packed, b))
+    fmt = Format.from_shorthand("BFP[8|8]{64}(SN)")
+    wq = fmt.cast(w, block_dim=-1)
+    want = np.asarray(x @ wq.T + b)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bfp_linear_pallas_matches_ref():
+    """Pallas fused kernel vs jnp reference (runs in interpret mode off-TPU)."""
+    x = randf(8, 128)
+    w = randf(64, 128)
+    packed = bfp_pack(w, 8, 64)
+    want = np.asarray(bfp_linear_ref(x, packed))
+    if jax.devices()[0].platform == "tpu":
+        got = np.asarray(bfp_linear(x, packed, use_pallas=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    else:
+        got = np.asarray(bfp_linear(x, packed, use_pallas=False))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_int_group_pack_roundtrip():
+    x = randf(8, 128) * 5
+    q, s, zp = int_group_pack(x, bits=8, group_size=64)
+    back = np.asarray(int_group_unpack(q, s, zp, 64))
+    scale_max = float(np.asarray(s).max())
+    assert np.abs(back - np.asarray(x)).max() <= scale_max * 0.5001
+    assert q.dtype == jnp.int8
+
+
+def test_compress_for_inference_preserves_numerics():
+    from dmx_compressor_tpu.modeling.model import DmxModel
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.l1 = nnx.Linear(128, 64, rngs=nnx.Rngs(0))
+            self.l2 = nnx.Linear(64, 32, rngs=nnx.Rngs(1))
+
+        def __call__(self, x):
+            return self.l2(self.l1(x))
+
+    net = Net()
+    dm = DmxModel.from_raw(net)
+    dm.to_basic_mode()
+    x = randf(4, 128)
+    before = np.asarray(dm(x))
+    n = compress_for_inference(dm)
+    assert n == 2
+    assert isinstance(net.l1, PackedBFPLinear)
+    after = np.asarray(dm(x))
+    np.testing.assert_allclose(after, before, atol=1e-6)
+
+
+def test_conv1d_unfold_matches_conv():
+    from dmx_compressor_tpu.nn.experimental import Conv1dUnfold
+
+    conv = dmxnn.Conv1d(4, 8, 3, stride=1, padding=1)
+    unf = Conv1dUnfold.from_conv(conv)
+    x = randf(2, 4, 16)
+    np.testing.assert_allclose(
+        np.asarray(unf(x)), np.asarray(conv(x)), atol=1e-4
+    )
+
+
+def test_conv2d_unfold_matches_conv():
+    from dmx_compressor_tpu.nn.experimental import Conv2dUnfold
+
+    conv = dmxnn.Conv2d(3, 8, (3, 3), stride=2, padding=1)
+    unf = Conv2dUnfold.from_conv(conv)
+    x = randf(2, 3, 12, 12)
+    np.testing.assert_allclose(
+        np.asarray(unf(x)), np.asarray(conv(x)), atol=1e-4
+    )
+
+
+def test_conv_unfold_quantized_runs():
+    from dmx_compressor_tpu.nn.experimental import Conv2dUnfold
+
+    conv = Conv2dUnfold(3, 8, (3, 3), stride=1, padding=1)
+    conv.configure(
+        dict(
+            input_formats=[dmx.format.BFP16_64],
+            weight_format=dmx.format.BFP16_64,
+            output_formats=[dmx.format.FLOAT16],
+        )
+    )
+    y = conv(randf(1, 3, 8, 8))
+    assert y.shape == (1, 8, 8, 8)

@@ -1,0 +1,198 @@
+"""Utilities: approximation surrogates accuracy, monitoring, visualization,
+benchmark tables, yaml io."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dmx_compressor_tpu as dmx
+from dmx_compressor_tpu import nn as dmxnn
+from dmx_compressor_tpu.functional import simd_ops
+from dmx_compressor_tpu.functional.approximate import ApproximationFunction
+
+RNG = np.random.default_rng(0)
+
+
+def randf(*shape, scale=1.0):
+    return jnp.asarray((RNG.standard_normal(shape) * scale).astype(np.float32))
+
+
+# --- SIMD surrogate accuracy -------------------------------------------------
+
+
+def test_poly2exp_accuracy():
+    x = jnp.linspace(-8.0, 8.0, 257)
+    got = np.asarray(simd_ops.exp(x))
+    want = np.exp(np.asarray(x))
+    rel = np.abs(got - want) / want
+    assert rel.max() < 2e-3
+
+
+def test_softmax_surrogate_accuracy():
+    x = randf(16, 64, scale=4.0)
+    got = np.asarray(simd_ops.softmax(x, dim=-1, input_clamp=-100, max_adjust=0.1141))
+    want = np.asarray(jax.nn.softmax(x, axis=-1))
+    assert np.abs(got - want).max() < 3e-3
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)
+
+
+def test_layernorm_surrogate_tiled():
+    x = randf(8, 128)
+    w, b = randf(128), randf(128)
+    got = np.asarray(simd_ops.layer_norm(x, (128,), w, b, 1e-5, tile_size=32))
+    xm = np.asarray(x, np.float64)
+    mean = xm.mean(-1, keepdims=True)
+    var = ((xm - mean) ** 2).mean(-1, keepdims=True)
+    want = (xm - mean) / np.sqrt(var + 1e-5) * np.asarray(w) + np.asarray(b)
+    assert np.abs(got - want).max() < 1e-3
+
+
+def test_silu_gelu_surrogates():
+    x = randf(256, scale=3.0)
+    assert np.abs(np.asarray(simd_ops.silu(x)) - np.asarray(jax.nn.silu(x))).max() < 5e-3
+    assert (
+        np.abs(
+            np.asarray(simd_ops.quick_gelu(x))
+            - np.asarray(x * jax.nn.sigmoid(1.702 * x))
+        ).max()
+        < 5e-3
+    )
+
+
+def test_approx_shorthand_roundtrip():
+    for sh in [
+        "NONE",
+        "SOFTMAX[vsimd]{input_clamp=-100}(max_adjust=0.1141)",
+        "EXP[vsimd]{}(knorm=0, kmax=15, use_exp_large=True)",
+        "LAYER_NORM[vsimd]{}()",
+        "APPLY_LLAMA_ROPE[vsimd]{}()",
+    ]:
+        fn = ApproximationFunction.from_shorthand(sh)
+        assert ApproximationFunction.from_shorthand(repr(fn)) == fn
+
+
+# --- monitoring / measurement ------------------------------------------------
+
+
+def test_monitoring_records_io():
+    from flax import nnx
+    from dmx_compressor_tpu.modeling.model import DmxModel
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.l1 = nnx.Linear(8, 4, rngs=nnx.Rngs(0))
+
+        def __call__(self, x):
+            return self.l1(x)
+
+    dm = DmxModel.from_raw(Net())
+    x = randf(2, 8)
+    with dm.monitoring(["l1"]) as mon:
+        dm(x)
+    rec = mon.records["l1"]
+    assert len(rec.inputs) == 1 and len(rec.outputs) == 1
+    assert rec.outputs[0].shape == (2, 4)
+    dm(x)  # recorder detached after exit
+    assert len(rec.inputs) == 1
+
+
+def test_runtime_measurement():
+    from flax import nnx
+    from dmx_compressor_tpu.modeling.model import DmxModel
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.l1 = nnx.Linear(64, 64, rngs=nnx.Rngs(0))
+
+        def __call__(self, x):
+            return self.l1(x)
+
+    dm = DmxModel.from_raw(Net())
+    with dm.measure_runtimes(["l1"]) as m:
+        dm(randf(8, 64))
+        dm(randf(8, 64))
+    times = m.get_records()["l1"]
+    assert len(times) == 2 and all(t > 0 for t in times)
+
+
+# --- visualization -----------------------------------------------------------
+
+
+def test_mask2braille():
+    from dmx_compressor_tpu.utils.visualization import mask2braille
+
+    mask = np.zeros((8, 8))
+    mask[::2, ::2] = 1
+    art = mask2braille(mask)
+    assert len(art.splitlines()) == 2
+    assert all(0x2800 <= ord(c) <= 0x28FF for line in art.splitlines() for c in line)
+
+
+def test_print_model_tree():
+    from dmx_compressor_tpu.utils.visualization import print_model_tree
+    from dmx_compressor_tpu.modeling.model import DmxModel
+    from flax import nnx
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.l1 = nnx.Linear(8, 4, rngs=nnx.Rngs(0))
+
+        def __call__(self, x):
+            return self.l1(x)
+
+    dm = DmxModel.from_raw(Net())
+    dm.to_basic_mode()
+    out = print_model_tree(dm.module, printer=None)
+    assert "Linear" in out and "BFP[8|8]{64}(SN)" in out
+
+
+# --- benchmark harness -------------------------------------------------------
+
+
+def test_benchmark_tables_and_modes():
+    from dmx_compressor_tpu.utils.benchmark import (
+        EVALUATION_MODE,
+        configure_mode,
+        markdown_table,
+        measure_model_error,
+        measure_runtime,
+    )
+    from dmx_compressor_tpu.modeling.model import DmxModel
+    from flax import nnx
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.l1 = nnx.Linear(64, 64, rngs=nnx.Rngs(0))
+            self.sm = __import__("dmx_compressor_tpu.rawnn", fromlist=["Softmax"]).Softmax()
+
+        def __call__(self, x):
+            return self.sm(self.l1(x))
+
+    x = randf(4, 64)
+    outputs = {}
+    raw = Net()
+    outputs["Vanilla"] = raw(x)
+    dm = DmxModel.from_raw(raw)
+    for mode in [EVALUATION_MODE.BASELINE, EVALUATION_MODE.BASIC, EVALUATION_MODE.BASIC_NOVSIMD]:
+        configure_mode(dm, mode)
+        outputs[mode.value] = dm(x)
+    errs = measure_model_error(outputs)
+    assert errs["Baseline"]["max_abs_err"] < 1e-5
+    assert errs["Basic"]["max_abs_err"] > 0
+    # NoVSIMD strips approximations but keeps quantization
+    assert errs["Basic_NoVSIMD"]["max_abs_err"] > 0
+    table = markdown_table(errs, "error")
+    assert table.startswith("### error") and "| Vanilla |" in table
+    t = measure_runtime(lambda v: dm(v), x, reps=2, warmup=1)
+    assert t > 0
+
+
+def test_perf_proxy_values():
+    """Frozen expected values (reference tests/test_perf_proxy.py:34+)."""
+    mod = dmxnn.Linear(64, 32)
+    mod.configure(dict(weight_format=dmx.format.BFP16_64))
+    assert mod.weight_elem_count == 64 * 32
+    assert mod.weight_size_in_bytes == 64 * 32 * (8 + 8 / 64) / 8
+    mod.configure(dict(weight_sparseness=dmx.sparseness.BTK8_2_LD))
+    assert mod.weight_elem_count == 64 * 32 * 0.25
