@@ -4,11 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The model is OPT-125m-shaped (randomly initialized; zero-egress environment),
 transformed to BASIC mode (BFP16_64 weights+acts, BFP32_1 bias, FLOAT16
-outputs — the reference's BASIC rule set) and driven through the static-shape
-KV-cache decode step.  ``vs_baseline`` is quantized tokens/s divided by the
-same model's un-quantized (BASELINE-mode) tokens/s on the same chip — i.e.
-the throughput cost of full fake-quantization; >= 1.0 means quantization is
-free or profitable.
+outputs — the reference's BASIC rule set), weights folded+packed to int8 BFP
+payloads (fused Pallas dequant-matmul), int8 quantized KV cache, and the
+whole greedy generation loop runs device-side as one ``lax.scan`` (host
+dispatch per call, not per token — essential on tunneled TPUs).
+
+``vs_baseline`` = quantized tokens/s divided by the same model's un-quantized
+(BASELINE-mode) tokens/s on the same chip; >= 1.0 means quantization is free
+or profitable.
 """
 
 from __future__ import annotations
@@ -30,14 +33,13 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int):
     dm = DmxModel.from_raw(model)
     if mode == "basic":
         dm.to_basic_mode()
-        # production path: fold + pack BFP weights, fused dequant-matmul
         from dmx_compressor_tpu.ops.compress import compress_for_inference
 
         compress_for_inference(dm)
+        caches = model.init_cache(batch, prompt_len + gen_len, quantized=True)
     else:
         dm.to_baseline_mode()
-
-    caches = model.init_cache(batch, prompt_len + gen_len, dtype=jnp.float32)
+        caches = model.init_cache(batch, prompt_len + gen_len)
     graphdef, state = nnx.split((model, caches))
 
     def prefill(state, ids):
@@ -46,35 +48,47 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int):
         _, new_state = nnx.split((mod, cs))
         return new_state, jnp.argmax(logits[:, -1], axis=-1)
 
-    def decode_step(state, tok, pos):
-        mod, cs = nnx.merge(graphdef, state)
-        logits = mod(tok[:, None], caches=cs, position_offset=pos)
-        _, new_state = nnx.split((mod, cs))
-        return new_state, jnp.argmax(logits[:, -1], axis=-1)
+    def generate(state, tok, n_steps: int):
+        def body(carry, i):
+            state, tok = carry
+            mod, cs = nnx.merge(graphdef, state)
+            logits = mod(tok[:, None], caches=cs, position_offset=prompt_len + i)
+            _, s2 = nnx.split((mod, cs))
+            nxt = jnp.argmax(logits[:, -1], axis=-1)
+            return (s2, nxt), nxt
 
-    return state, jax.jit(prefill, donate_argnums=0), jax.jit(decode_step, donate_argnums=0)
+        (state, tok), toks = jax.lax.scan(
+            body, (state, tok), jnp.arange(n_steps)
+        )
+        return state, toks
+
+    import functools
+
+    return (
+        state,
+        jax.jit(prefill, donate_argnums=0),
+        jax.jit(functools.partial(generate, n_steps=gen_len - 1), donate_argnums=0),
+    )
 
 
-def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=64, reps=3) -> float:
-    state, prefill, decode = build(mode, cfg, prompt_len, gen_len, batch)
+def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=3) -> float:
+    state, prefill, generate = build(mode, cfg, prompt_len, gen_len, batch)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
 
     state, tok = prefill(state, ids)
-    # warmup one decode step (compile)
-    state, tok = decode(state, tok, jnp.int32(prompt_len))
     jax.block_until_ready(tok)
 
     best = 0.0
-    pos = prompt_len + 1
-    for _ in range(reps):
+    # each rep rewrites the same cache window (positions restart), so the
+    # compute per rep is identical; rep 1 doubles as the compile warmup
+    for i in range(reps + 1):
         t0 = time.perf_counter()
-        for i in range(gen_len - 1):
-            state, tok = decode(state, tok, jnp.int32(pos + i))
-        jax.block_until_ready(tok)
+        state, toks = generate(state, tok)
+        jax.block_until_ready(toks)
         dt = time.perf_counter() - t0
-        toks_per_s = batch * (gen_len - 1) / dt
-        best = max(best, toks_per_s)
+        if i > 0:
+            best = max(best, batch * (gen_len - 1) / dt)
     return best
 
 

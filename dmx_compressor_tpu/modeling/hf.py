@@ -282,33 +282,37 @@ class Pipeline:
     def do_forward_on(self, input_ids, **kwargs):
         return do_forward_on(self.raw_model, input_ids, **kwargs)
 
-    def generate(self, input_ids, max_new_tokens: int = 16):
-        """Greedy generation through the static KV cache."""
+    def generate(self, input_ids, max_new_tokens: int = 16, quantized_cache: bool = False):
+        """Greedy generation: prefill + device-side lax.scan decode loop
+        (one host dispatch total — essential on tunneled TPUs)."""
         ids = jnp.asarray(input_ids, jnp.int32)
         B, T = ids.shape
-        caches = self.raw_model.init_cache(B, T + max_new_tokens)
+        caches = self.raw_model.init_cache(
+            B, T + max_new_tokens, quantized=quantized_cache
+        )
         graphdef, state = nnx.split((self.raw_model, caches))
 
         @jax.jit
-        def prefill(state, ids):
+        def run(state, ids):
             mod, cs = nnx.merge(graphdef, state)
             logits = mod(ids, caches=cs, position_offset=0)
-            _, s2 = nnx.split((mod, cs))
-            return s2, jnp.argmax(logits[:, -1], axis=-1)
+            _, state = nnx.split((mod, cs))
+            tok = jnp.argmax(logits[:, -1], axis=-1)
 
-        @jax.jit
-        def step(state, tok, pos):
-            mod, cs = nnx.merge(graphdef, state)
-            logits = mod(tok[:, None], caches=cs, position_offset=pos)
-            _, s2 = nnx.split((mod, cs))
-            return s2, jnp.argmax(logits[:, -1], axis=-1)
+            def body(carry, i):
+                state, tok = carry
+                mod, cs = nnx.merge(graphdef, state)
+                lg = mod(tok[:, None], caches=cs, position_offset=T + i)
+                _, s2 = nnx.split((mod, cs))
+                nxt = jnp.argmax(lg[:, -1], axis=-1)
+                return (s2, nxt), tok
 
-        state, tok = prefill(state, ids)
-        out = [tok]
-        for i in range(max_new_tokens - 1):
-            state, tok = step(state, tok, jnp.int32(T + i))
-            out.append(tok)
-        gen = jnp.stack(out, axis=1)
+            (state, tok), toks = jax.lax.scan(
+                body, (state, tok), jnp.arange(max_new_tokens - 1)
+            )
+            return jnp.concatenate([toks.T, tok[:, None]], axis=1)
+
+        gen = run(state, ids)
         return jnp.concatenate([ids, gen], axis=1)
 
     def __call__(self, text_or_ids, **kwargs):

@@ -131,7 +131,7 @@ class GPT2LMHeadModel(nnx.Module):
     def __init__(self, cfg: GPT2Config, *, rngs: nnx.Rngs):
         self.cfg = cfg
         self.transformer = GPT2Model(cfg, rngs=rngs)
-        self.lm_head = rawnn.MatMul()  # tied to wte
+        self.lm_head = rawnn.TiedLinear(self.transformer.wte)
 
     @property
     def config(self):
@@ -139,9 +139,7 @@ class GPT2LMHeadModel(nnx.Module):
 
     def __call__(self, input_ids, caches=None, position_offset=0):
         h = self.transformer(input_ids, caches=caches, position_offset=position_offset)
-        emb = self.transformer.wte
-        table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
-        return self.lm_head(h, table.T.astype(h.dtype))
+        return self.lm_head(h)
 
     def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
         cfg = self.cfg

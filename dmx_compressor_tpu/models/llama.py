@@ -165,7 +165,7 @@ class LlamaForCausalLM(nnx.Module):
         self.cfg = cfg
         self.model = LlamaModel(cfg, rngs=rngs)
         if cfg.tie_word_embeddings:
-            self.lm_head = rawnn.MatMul()
+            self.lm_head = rawnn.TiedLinear(self.model.embed_tokens)
         else:
             self.lm_head = nnx.Linear(
                 cfg.hidden_size, cfg.vocab_size, use_bias=False, rngs=rngs
@@ -177,10 +177,6 @@ class LlamaForCausalLM(nnx.Module):
 
     def __call__(self, input_ids, caches=None, position_offset=0):
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
-        if isinstance(self.lm_head, rawnn.MatMul) or type(self.lm_head).__name__ == "ActActMatMul":
-            emb = self.model.embed_tokens
-            table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
-            return self.lm_head(h, table.T.astype(h.dtype))
         return self.lm_head(h)
 
     def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):

@@ -170,7 +170,8 @@ class OPTForCausalLM(nnx.Module):
     def __init__(self, cfg: OPTConfig, *, rngs: nnx.Rngs):
         self.cfg = cfg
         self.model = OPTModel(cfg, rngs=rngs)
-        self.lm_head = rawnn.MatMul()  # tied: logits = h @ E.T
+        # tied head; substitutes to a dmxnn.Linear sharing the embedding Param
+        self.lm_head = rawnn.TiedLinear(self.model.decoder.embed_tokens)
 
     @property
     def config(self):
@@ -178,9 +179,7 @@ class OPTForCausalLM(nnx.Module):
 
     def __call__(self, input_ids, caches=None, position_offset=0):
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
-        emb = self.model.decoder.embed_tokens
-        table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
-        return self.lm_head(h, table.T.astype(h.dtype))
+        return self.lm_head(h)
 
     def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
         cfg = self.cfg

@@ -221,7 +221,7 @@ class WhisperForConditionalGeneration(nnx.Module):
     def __init__(self, cfg: WhisperConfig, *, rngs: nnx.Rngs):
         self.cfg = cfg
         self.model = WhisperModel(cfg, rngs=rngs)
-        self.proj_out = rawnn.MatMul()  # tied to embed_tokens
+        self.proj_out = rawnn.TiedLinear(self.model.decoder.embed_tokens)
 
     @property
     def config(self):
@@ -237,9 +237,7 @@ class WhisperForConditionalGeneration(nnx.Module):
 
     def decode(self, decoder_input_ids, enc, caches=None, position_offset=0):
         h = self.model.decoder(decoder_input_ids, enc, caches, position_offset)
-        emb = self.model.decoder.embed_tokens
-        table = emb.weight.value if hasattr(emb, "weight") else emb.embedding.value
-        return self.proj_out(h, table.T.astype(h.dtype))
+        return self.proj_out(h)
 
     def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
         cfg = self.cfg

@@ -195,6 +195,18 @@ class Linear(DmxModule):
             mod.bias.value = raw.bias.value
         return mod
 
+    @classmethod
+    def from_tied(cls, raw) -> "Linear":
+        """Build from rawnn.TiedLinear: the weight Param IS the embedding
+        table (shared object), so embedding and head stay tied through
+        configuration and folding."""
+        e = raw.embed_ref
+        param = getattr(e, "embedding", None) or getattr(e, "weight")
+        V, D = param.value.shape
+        mod = cls(D, V, bias=False)
+        mod.weight = param  # pointer tying
+        return mod
+
 
 class Embedding(DmxModule):
     """Quantized embedding lookup (reference torch_modules.py:444-529)."""
@@ -227,9 +239,8 @@ class Embedding(DmxModule):
 
     @classmethod
     def from_raw(cls, raw) -> "Embedding":
-        emb = raw.embedding.value
-        mod = cls(emb.shape[0], emb.shape[1])
-        mod.weight.value = emb
+        mod = cls(*raw.embedding.value.shape)
+        mod.weight = raw.embedding  # share the Param (keeps tied heads tied)
         return mod
 
 

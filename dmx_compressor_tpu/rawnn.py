@@ -39,6 +39,28 @@ class MatMul(nnx.Module):
         return jnp.matmul(a, b)
 
 
+class TiedLinear(nnx.Module):
+    """LM head tied to an embedding table: y = x @ E.T.
+
+    Holds a shared reference to the embedding module, so substitution maps it
+    to a dmxnn.Linear whose weight Param *is* the embedding table (pointer
+    tying, like the reference's update_params_with_raw, core.py:277-299).
+    HF models represent tied heads as nn.Linear and the reference quantizes
+    them as Linears — this wrapper preserves that semantics.
+    """
+
+    def __init__(self, embed):
+        self.embed_ref = embed
+
+    def _table(self):
+        e = self.embed_ref
+        p = getattr(e, "embedding", None) or getattr(e, "weight")
+        return p.value
+
+    def __call__(self, x):
+        return x @ self._table().T.astype(x.dtype)
+
+
 class BAddBMM(nnx.Module):
     def __call__(self, x, batch1, batch2, beta=1, alpha=1):
         return beta * x + alpha * jnp.matmul(batch1, batch2)

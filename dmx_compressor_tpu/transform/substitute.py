@@ -50,6 +50,7 @@ RAW_OP_MAPPING: Dict[Type, Callable] = {
     rawnn.ResAdd: dmxnn.ResAdd.from_raw,
     rawnn.Mul: dmxnn.Mul.from_raw,
     rawnn.MatMul: dmxnn.ActActMatMul.from_raw,
+    rawnn.TiedLinear: dmxnn.Linear.from_tied,
     rawnn.BAddBMM: dmxnn.BAddBMM.from_raw,
     rawnn.Exp: dmxnn.Exp.from_raw,
     rawnn.Softmax: dmxnn.Softmax.from_raw,

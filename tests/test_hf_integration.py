@@ -1,0 +1,122 @@
+"""HF integration: checkpoint import round-trip and pipeline flows, fully
+offline (a tiny OPT/GPT-2 checkpoint is written locally in HF format)."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+import dmx_compressor_tpu as dmx
+
+RNG = np.random.default_rng(0)
+
+
+def _write_opt_checkpoint(path):
+    """Write a tiny facebook/opt-style checkpoint (config.json + safetensors)."""
+    from safetensors.numpy import save_file
+
+    from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig.tiny()
+    model = OPTForCausalLM(cfg, rngs=nnx.Rngs(7))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_type": "opt",
+                "vocab_size": cfg.vocab_size,
+                "hidden_size": cfg.hidden_size,
+                "ffn_dim": cfg.ffn_dim,
+                "num_hidden_layers": cfg.num_hidden_layers,
+                "num_attention_heads": cfg.num_attention_heads,
+                "max_position_embeddings": cfg.max_position_embeddings,
+                "do_layer_norm_before": True,
+            },
+            f,
+        )
+    tensors = {}
+    tensors["model.decoder.embed_tokens.weight"] = np.asarray(
+        model.model.decoder.embed_tokens.embedding.value
+    )
+    tensors["model.decoder.embed_positions.weight"] = np.asarray(
+        model.model.decoder.embed_positions.embedding.value
+    )
+    for i, layer in enumerate(model.model.decoder.layers):
+        p = f"model.decoder.layers.{i}"
+        for name, lin in [
+            ("self_attn.q_proj", layer.self_attn.q_proj),
+            ("self_attn.k_proj", layer.self_attn.k_proj),
+            ("self_attn.v_proj", layer.self_attn.v_proj),
+            ("self_attn.out_proj", layer.self_attn.out_proj),
+            ("fc1", layer.fc1),
+            ("fc2", layer.fc2),
+        ]:
+            tensors[f"{p}.{name}.weight"] = np.asarray(lin.kernel.value).T
+            tensors[f"{p}.{name}.bias"] = np.asarray(lin.bias.value)
+        for name, ln in [
+            ("self_attn_layer_norm", layer.self_attn_layer_norm),
+            ("final_layer_norm", layer.final_layer_norm),
+        ]:
+            tensors[f"{p}.{name}.weight"] = np.asarray(ln.scale.value)
+            tensors[f"{p}.{name}.bias"] = np.asarray(ln.bias.value)
+    fln = model.model.decoder.final_layer_norm
+    tensors["model.decoder.final_layer_norm.weight"] = np.asarray(fln.scale.value)
+    tensors["model.decoder.final_layer_norm.bias"] = np.asarray(fln.bias.value)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    return model
+
+
+def test_checkpoint_import_roundtrip(tmp_path):
+    from dmx_compressor_tpu.modeling.hf import model_from_checkpoint
+
+    src = _write_opt_checkpoint(str(tmp_path))
+    loaded, missed = model_from_checkpoint(str(tmp_path))
+    assert missed == []
+    x = jnp.asarray(RNG.integers(0, 512, (2, 8)), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(loaded(x)), np.asarray(src(x)), atol=1e-5
+    )
+
+
+def test_pipeline_with_config(tmp_path):
+    from dmx_compressor_tpu.modeling.hf import pipeline
+
+    src = _write_opt_checkpoint(str(tmp_path))
+    pipe = pipeline("text-generation", str(tmp_path), dmx_config="BASIC")
+    fc1 = pipe.model.dmx_module_dict
+    some_linear = next(
+        m for n, m in fc1.items() if n.endswith("fc1")
+    )
+    assert repr(some_linear.weight_format) == "BFP[8|8]{64}(SN)"
+    # tied lm head substituted as Linear sharing the embedding table
+    lm = pipe.model.get_submodule("lm_head")
+    emb = pipe.model.get_submodule("model.decoder.embed_tokens")
+    assert lm.weight is emb.weight
+
+    out = pipe.do_forward_on(RNG.integers(0, 512, 128), max_length=32)
+    assert np.isfinite(out["perplexity"])
+
+    ids = jnp.asarray(RNG.integers(0, 512, (1, 4)), jnp.int32)
+    gen = np.asarray(pipe.generate(ids, max_new_tokens=5))
+    assert gen.shape == (1, 9)
+    gen_q = np.asarray(pipe.generate(ids, max_new_tokens=5, quantized_cache=True))
+    assert gen_q.shape == (1, 9)
+
+
+def test_basic_perplexity_close_to_fp32(tmp_path):
+    """BASIC fake-quant must track fp32 perplexity closely (the parity
+    criterion shape; exact refs need real weights/data)."""
+    from dmx_compressor_tpu.modeling.hf import do_forward_on, model_from_checkpoint
+    from dmx_compressor_tpu.modeling.model import DmxModel
+
+    _write_opt_checkpoint(str(tmp_path))
+    model, _ = model_from_checkpoint(str(tmp_path))
+    stream = RNG.integers(0, 512, 256)
+    ppl_fp32 = do_forward_on(model, stream, max_length=32)["perplexity"]
+    dm = DmxModel.from_raw(model)
+    dm.to_basic_mode()
+    ppl_basic = do_forward_on(model, stream, max_length=32)["perplexity"]
+    assert abs(np.log(ppl_basic) - np.log(ppl_fp32)) < 0.1
