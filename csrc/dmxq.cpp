@@ -77,8 +77,10 @@ void dmxq_float_nearest(const float* x, float* y, long n, int man, int exp_bits,
       if (flush_subnormal) {
         y[i] = 0.0f;
       } else {
+        // fp32 shift-add double rounding: first onto the fp32 mantissa grid
+        const double fine = round_half_even(v / p2(min_exp - 23)) * p2(min_exp - 23);
         const double step = p2(min_exp - man);
-        y[i] = static_cast<float>(round_half_even(v / step) * step);
+        y[i] = static_cast<float>(round_half_even(fine / step) * step);
       }
       continue;
     }
@@ -109,8 +111,11 @@ void dmxq_block_nearest(const float* x, float* y, long rows, long cols, int wl) 
     const double step = p2(e + 2 - wl);
     const double lim = p2(e + 1);
     const double maxv = (2.0 - p2(-(wl - 2))) * p2(e);
+    const float base = static_cast<float>(6.0 * p2(e));
     for (long c = 0; c < cols; ++c) {
-      double q = round_half_even(xr[c] / step) * step;
+      // fp32 rebase-add double rounding (matches the reference kernel)
+      const float t = xr[c] + base;  // fp32: first rounding
+      double q = round_half_even(t / step) * step - static_cast<double>(base);
       if (std::fabs(q) >= lim) q = (q < 0 ? -maxv : maxv);
       yr[c] = static_cast<float>(q);
     }
@@ -135,8 +140,11 @@ void dmxq_bfp_pack(const float* x, int8_t* man, int8_t* exp, long rows,
       const int e = (amax == 0.0f) ? 0 : exponent_of(amax);
       exp[r * nb + b] = static_cast<int8_t>(e);
       const double inv_step = p2(wl - 2 - e);
+      const float base = static_cast<float>(6.0 * p2(e));
+      const double rebase = 3.0 * p2(wl - 1);
       for (int c = 0; c < bs; ++c) {
-        double m = round_half_even(xb[c] * inv_step);
+        const float t = xb[c] + base;  // fp32 double rounding
+        double m = round_half_even(t * inv_step) - rebase;
         if (m > limit) m = limit;
         if (m < -limit) m = -limit;
         man[r * cols + b * bs + c] = static_cast<int8_t>(m);

@@ -147,6 +147,35 @@ def model_from_checkpoint(path: str, *, dtype=jnp.float32):
 
         cfg = LlamaConfig.from_hf(cfg_json)
         model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    elif model_type == "whisper":
+        from ..models.whisper import WhisperConfig, WhisperForConditionalGeneration
+
+        cfg = WhisperConfig.from_hf(cfg_json)
+        model = WhisperForConditionalGeneration(cfg, rngs=nnx.Rngs(0))
+    elif model_type == "clip":
+        from ..models.clip import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+        v, t = cfg_json["vision_config"], cfg_json["text_config"]
+        cfg = CLIPConfig(
+            vision=CLIPVisionConfig(
+                hidden_size=v.get("hidden_size", 768),
+                intermediate_size=v.get("intermediate_size", 3072),
+                num_hidden_layers=v.get("num_hidden_layers", 12),
+                num_attention_heads=v.get("num_attention_heads", 12),
+                image_size=v.get("image_size", 224),
+                patch_size=v.get("patch_size", 32),
+            ),
+            text=CLIPTextConfig(
+                vocab_size=t.get("vocab_size", 49408),
+                hidden_size=t.get("hidden_size", 512),
+                intermediate_size=t.get("intermediate_size", 2048),
+                num_hidden_layers=t.get("num_hidden_layers", 12),
+                num_attention_heads=t.get("num_attention_heads", 8),
+                max_position_embeddings=t.get("max_position_embeddings", 77),
+            ),
+            projection_dim=cfg_json.get("projection_dim", 512),
+        )
+        model = CLIPModel(cfg, rngs=nnx.Rngs(0))
     else:
         raise NotImplementedError(f"model_type {model_type}")
     tensors = read_hf_checkpoint(path)

@@ -245,6 +245,13 @@ class DmxModel:
             self._jit_cache[key] = nnx.jit(target)
         return self._jit_cache[key]
 
+    def visualize_graph(self, file_name=None):
+        """Graphviz dot rendering of the Q/DQ graphs (reference
+        model.py:647-658)."""
+        from ..transform.visualize import visualize_graph
+
+        return visualize_graph(self, file_name)
+
     def make_compiler_graphs(self):
         """Q/DQ-annotated export graphs per module (reference
         model.py:660-665); see transform/qdq.py."""

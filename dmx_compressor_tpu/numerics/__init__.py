@@ -10,7 +10,7 @@ from .format import (
     MXFP,
     MXINT,
 )
-from .cast import CastTo, CastToDict, QuantState, ste
+from .cast import CastTo, CastToDict, Quantize, DeQuantize, QuantState, ste
 from .observer import (
     ObserverBase,
     DummyObserver,

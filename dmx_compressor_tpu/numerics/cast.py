@@ -282,6 +282,44 @@ class CastTo(nnx.Module):
         )
 
 
+class Quantize(nnx.Module):
+    """Drop-in quantize op producing integer payloads (reference
+    cast.py:361-379): y = clip(round(x / scale + zero_point))."""
+
+    def __init__(self, scale, zero_point, dtype: Union[str, Format]):
+        self.scale = QuantState(jnp.atleast_1d(jnp.asarray(scale, jnp.float32)))
+        self.zero_point = QuantState(
+            jnp.atleast_1d(jnp.asarray(zero_point, jnp.int32))
+        )
+        self.dtype = Format.from_shorthand(dtype) if isinstance(dtype, str) else dtype
+
+    def __call__(self, x):
+        from .observer import get_qmin_qmax
+
+        qmin, qmax = get_qmin_qmax(self.dtype)
+        q = jnp.round(x / self.scale.value + self.zero_point.value)
+        if qmin is not None:
+            q = jnp.clip(q, qmin, qmax)
+        return q.astype(jnp.int32)
+
+
+class DeQuantize(nnx.Module):
+    """Drop-in dequantize op (reference cast.py:381-398)."""
+
+    def __init__(self, scale=None, zero_point=None, dtype=None):
+        self.scale = QuantState(
+            jnp.atleast_1d(jnp.asarray(scale if scale is not None else 1.0, jnp.float32))
+        )
+        self.zero_point = QuantState(
+            jnp.atleast_1d(
+                jnp.asarray(zero_point if zero_point is not None else 0, jnp.int32)
+            )
+        )
+
+    def __call__(self, q):
+        return (q.astype(jnp.float32) - self.zero_point.value) * self.scale.value
+
+
 class CastToDict(nnx.Module):
     """Named dict of casts routing multi-input modules
     (reference cast.py:58-133)."""

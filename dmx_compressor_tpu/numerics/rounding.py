@@ -74,12 +74,19 @@ def _exponent_of(x: Array) -> Array:
 
 
 def _round_int_on_grid(
-    scaled: Array, rounding: str, key: Optional[Array]
+    scaled: Array, rounding: str, key: Optional[Array], bit_mode: bool = False
 ) -> Array:
     """Round pre-scaled values to integers per the reference rounding mode.
 
     ``scaled`` is x / step; the caller guarantees |scaled| is small enough for
     exact fp32 integer arithmetic (< 2^24).
+
+    ``bit_mode`` selects the semantics of the reference's *bitwise* rounding
+    (round_bitwise, quant_cpu.cpp:211-237), used by the float/block kernels:
+    it operates on sign-magnitude fp32 bits, so "down" truncates toward zero
+    and "up" adds a full ulp to the magnitude (bumping even exact-grid values
+    away from zero).  The fixed-point kernel uses true ceil/floor
+    (sim_helper.cpp:24-39), i.e. bit_mode=False.
     """
     if rounding == "nearest":
         # nearbyint == round-half-even (quant_cpu.cpp:119; fenv default).
@@ -91,8 +98,12 @@ def _round_int_on_grid(
         # reference: nearbyint(a + r - 0.5) with r ~ U[0,1) (sim_helper.cpp:14)
         return jnp.round(scaled + r - 0.5)
     elif rounding == "up":
+        if bit_mode:
+            return jnp.sign(scaled) * (jnp.floor(jnp.abs(scaled)) + 1.0)
         return jnp.ceil(scaled)
     elif rounding == "down":
+        if bit_mode:
+            return jnp.trunc(scaled)
         return jnp.floor(scaled)
     raise ValueError(f"unknown rounding mode: {rounding}")
 
@@ -163,7 +174,7 @@ def float_quantize(
     # --- normal path: grid step 2^(e - man), e clamped for safe arithmetic
     e_n = jnp.maximum(e, min_exp)
     scaled = _mul_pow2(xf, man - e_n)
-    q = _round_int_on_grid(scaled, rounding, key)
+    q = _round_int_on_grid(scaled, rounding, key, bit_mode=True)
     q_norm = _mul_pow2(q, e_n - man)
     # overflow clip (bit_helper.cpp clip_exponent): max exponent from the
     # DEFAULT bias, irrespective of the custom bias.
@@ -196,8 +207,23 @@ def float_quantize(
             _mul_pow2(mant, jnp.maximum(k, -126)),
             jnp.float32(2.0**-103),
         )
-        scaled_s = jnp.where(bits < 0, -mag, mag)
-        qs = _round_int_on_grid(scaled_s, rounding, key)
+        # The reference shift trick computes val = x + sign*2^min_exp in
+        # fp32, which first rounds x onto the 2^(min_exp-23) grid (nearest
+        # even) and THEN bit-rounds to the format grid: double rounding that
+        # we replicate exactly.
+        k1 = k + (23 - man)  # scale to the fp32-mantissa grid at min_exp
+        fine = jnp.where(
+            k1 >= -126,
+            _mul_pow2(mant, jnp.maximum(k1, -126)),
+            jnp.float32(2.0**-103),
+        )
+        s1 = jnp.round(jnp.where(bits < 0, -fine, fine))  # the fp32 add
+        scaled_s = s1 * jnp.float32(2.0 ** (man - 23))  # exact
+        qs = _round_int_on_grid(scaled_s, rounding, key, bit_mode=True)
+        if rounding == "up":
+            # bitwise-up bumps even exact zeros away from zero, with the
+            # ORIGINAL sign (the shift carries x's sign, quant_cpu.cpp:380)
+            qs = jnp.where(qs == 0.0, jnp.where(bits < 0, -1.0, 1.0), qs)
         if min_exp - man >= -126:
             q_sub = _mul_pow2(qs, min_exp - man)
         else:
@@ -237,10 +263,17 @@ def block_quantize(
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     e = _exponent_of(amax)
-    # grid step 2^(e + 2 - wl); rebase trick makes nearest == half-even.
-    scaled = _mul_pow2(xf, wl - 2 - e)
-    q = _round_int_on_grid(scaled, rounding, key)
-    q = _mul_pow2(q, e + 2 - wl)
+    # Reference rebase trick (quant_cpu.cpp:239-275): t = x + 6*2^e lands in
+    # [5*2^e, 7*2^e] so its fp32 exponent is fixed at e+2 and bit-rounding
+    # keeps wl mantissa bits => grid step 2^(e+2-wl).  Computing the ADD in
+    # fp32 first replicates the reference's double rounding (the sum itself
+    # rounds to 24-bit precision before the grid rounding) bit-exactly.
+    base = _mul_pow2(jnp.full_like(xf, 1.5), e + 2)  # 6 * 2^e, exact
+    t = xf + base  # fp32 add: first rounding
+    scaled = _mul_pow2(t, wl - 2 - e)
+    q = _round_int_on_grid(scaled, rounding, key, bit_mode=True)  # t > 0
+    q = _mul_pow2(q, e + 2 - wl) - base
+    q = jnp.where(_is_zero(amax), xf, q)  # all-zero blocks pass through
     # clip_max_exponent(wl-2, e): clamp only when the result reached 2^(e+1).
     lim = _mul_pow2(jnp.ones_like(amax), e + 1)  # 2^(e+1)
     maxv = (2.0 - 2.0 ** (-(wl - 2))) * _mul_pow2(jnp.ones_like(amax), e)

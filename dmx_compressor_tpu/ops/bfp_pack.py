@@ -59,11 +59,13 @@ def bfp_pack(x: Array, precision: int = 8, block_size: int = 64) -> PackedBFP:
     xf = x.astype(jnp.float32).reshape(*lead, n // block_size, block_size)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     e = R._exponent_of(amax)
-    # mantissa = round(x / 2^(e+2-wl)), clipped to the symmetric range with
-    # the reference's overflow rule (values reaching 2^(e+1) clamp to
-    # (2 - 2^-(wl-2)) * 2^e = (2^(wl-1) - 1) steps... the max mantissa)
-    scaled = R._mul_pow2(xf, precision - 2 - e)
-    man = jnp.round(scaled)
+    # mantissa = round((x + 6*2^e) / 2^(e+2-wl)) - 3*2^(wl-1): the reference
+    # rebase-add (with its fp32 double rounding) so packed values are
+    # bit-identical to the simulated block_quantize; clip to the symmetric
+    # range (overflow rule: values reaching 2^(e+1) clamp to the max mantissa)
+    base = R._mul_pow2(jnp.full_like(xf, 1.5), e + 2)
+    t = xf + base
+    man = jnp.round(R._mul_pow2(t, precision - 2 - e)) - float(3 * 2 ** (precision - 1))
     limit = float(2 ** (precision - 1))
     man = jnp.where(jnp.abs(man) >= limit, jnp.sign(man) * (limit - 1), man)
     man_dtype = jnp.int8 if precision <= 8 else jnp.int32

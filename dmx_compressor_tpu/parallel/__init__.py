@@ -1,0 +1,8 @@
+from .mesh import (
+    make_mesh,
+    shard_state,
+    spec_for_path,
+    data_sharding,
+    TRANSFORMER_RULES,
+)
+from .distributed import initialize, pod_mesh, host_local_batch

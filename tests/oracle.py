@@ -9,13 +9,17 @@ that agreement between the two is meaningful evidence of correctness.
 import numpy as np
 
 
-def _round_grid(x, step, mode, rng=None):
+def _round_grid(x, step, mode, rng=None, bit_mode=False):
     s = x / step  # exact: step is a power of two, x is fp32-representable
     if mode == "nearest":
         return np.round(s) * step  # numpy round = half-to-even
     if mode == "up":
+        if bit_mode:  # reference bitwise up: magnitude bump away from zero
+            return np.sign(s) * (np.floor(np.abs(s)) + 1.0) * step
         return np.ceil(s) * step
     if mode == "down":
+        if bit_mode:  # reference bitwise down: truncate toward zero
+            return np.trunc(s) * step
         return np.floor(s) * step
     if mode == "stochastic":
         r = rng.random(np.shape(s))
@@ -58,9 +62,12 @@ def float_quantize(x, man, exp, bias=None, flush_subnormal=True, mode="nearest")
             if flush_subnormal:
                 out[i] = 0.0
             else:
-                out[i] = _round_grid(v, 2.0 ** (min_exp - man), mode)
+                # double rounding: the shift add first rounds onto the fp32
+                # mantissa grid at min_exp, then bit-rounds to the format grid
+                fine = _round_grid(v, 2.0 ** (min_exp - 23), "nearest")
+                out[i] = _round_grid(fine, 2.0 ** (min_exp - man), mode, bit_mode=True)
         else:
-            q = _round_grid(v, 2.0 ** (e - man), mode)
+            q = _round_grid(v, 2.0 ** (e - man), mode, bit_mode=True)
             if q != 0.0 and abs(q) >= 2.0 ** (emax + 1):
                 q = np.sign(q) * maxv
             out[i] = q
@@ -84,7 +91,10 @@ def block_quantize_blocks(blocks, wl, mode="nearest"):
         while 2.0 ** (e + 1) <= amax:
             e += 1
         step = 2.0 ** (e + 2 - wl)
-        q = _round_grid(row, step, mode)
+        # fp32 rebase-add double rounding (see rounding.py block_quantize)
+        base = 6.0 * 2.0**e
+        t = (row.astype(np.float32) + np.float32(base)).astype(np.float64)
+        q = _round_grid(t, step, mode, bit_mode=True) - base
         lim = 2.0 ** (e + 1)
         maxv = (2.0 - 2.0 ** -(wl - 2)) * 2.0**e
         q = np.where(np.abs(q) >= lim, np.sign(q) * maxv, q)
