@@ -36,7 +36,10 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int):
         from dmx_compressor_tpu.ops.compress import compress_for_inference
 
         compress_for_inference(dm)
-        caches = model.init_cache(batch, prompt_len + gen_len, quantized=True)
+        # NOTE: the int8 KV cache currently dequantizes into full fp32
+        # buffers per step (correct but bandwidth-negative at short context);
+        # the bench uses the fp cache until attention consumes int8 directly
+        caches = model.init_cache(batch, prompt_len + gen_len)
     else:
         dm.to_baseline_mode()
         caches = model.init_cache(batch, prompt_len + gen_len)

@@ -261,6 +261,26 @@ class DmxModel:
 
     # -------------------------------------------------------- monitoring
 
+    def counting_flops(self, zero: bool = True):
+        """Context manager enabling FLOP counting on every DmxModule
+        (reference model.py:207-212)."""
+        from contextlib import ExitStack, contextmanager
+
+        @contextmanager
+        def _cm():
+            with ExitStack() as stack:
+                for _, m in self.named_dmx_modules():
+                    stack.enter_context(m.counting_flops(zero))
+                yield self
+
+        return _cm()
+
+    @property
+    def flops(self):
+        return sum(
+            m.flops or 0 for _, m in self.named_dmx_modules() if m.flop_counter
+        )
+
     def monitoring(self, submodules: Optional[List[str]] = None):
         from ..utils.monitor import Monitoring
 

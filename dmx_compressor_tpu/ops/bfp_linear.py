@@ -62,14 +62,35 @@ def _bfp_matmul_pallas(
     M, K = x.shape
     N = man.shape[0]
     bm = max(8, min(128, _ceil_to(M, 8)))
-    grid = (-(-M // bm), -(-N // bn))
+    bn = min(bn, _ceil_to(N, 128))
+    # pad operands to whole blocks (grid reads must stay in bounds)
+    padM, padN = (-M) % bm, (-N) % bn
+    if padM:
+        x = jnp.pad(x, ((0, padM), (0, 0)))
+    if padN:
+        man = jnp.pad(man, ((0, padN), (0, 0)))
+        exp = jnp.pad(exp, ((0, padN), (0, 0)))
+    Mp, Np = M + padM, N + padN
+    grid = (Mp // bm, Np // bn)
+
+    nb = K // block_size
 
     def kernel(x_ref, man_ref, exp_ref, out_ref):
-        m = man_ref[:].astype(jnp.float32)  # [bn, K]
-        e = exp_ref[:].astype(jnp.float32)  # [bn, K // B]
-        scale = jnp.exp2(e + (2 - precision))
-        scale_full = pltpu.repeat(scale, block_size, axis=1)  # [bn, K]
-        w = m * scale_full
+        # Expand per-block scales [bn, nb] to per-lane [bn, K] with a tiny
+        # 0/1 expansion matmul (E[b, c] = 1 iff c // B == b).  Mosaic has no
+        # element-repeat (pltpu.repeat tiles) and rejects sub-128 lane slices
+        # or reshapes, but an MXU matmul against an iota-built constant is
+        # fully supported and costs ~nothing (nb is K/64).
+        e = exp_ref[:].astype(jnp.float32)  # [bn, nb]
+        s = jnp.exp2(e + (2 - precision))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nb, K), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (nb, K), 1)
+        expand = (cols // block_size == rows).astype(jnp.float32)
+        scale_full = jax.lax.dot_general(
+            s, expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bn, K]
+        w = man_ref[:].astype(jnp.float32) * scale_full
         out_ref[:] = jax.lax.dot_general(
             x_ref[:].astype(jnp.float32),
             w,

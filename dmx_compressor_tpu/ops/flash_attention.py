@@ -38,14 +38,20 @@ def flash_attention_ref(
     *lead, L, D = q.shape
     S = k.shape[-2]
     scale = (D**-0.5) if scale is None else scale
-    logits = jnp.einsum("...ld,...sd->...ls", q, k).astype(jnp.float32) * scale
+    hi = jax.lax.Precision.HIGHEST  # full fp32 on the MXU for the reference
+    logits = (
+        jnp.einsum("...ld,...sd->...ls", q, k, precision=hi).astype(jnp.float32)
+        * scale
+    )
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     if causal:
         mask = jnp.tril(jnp.ones((L, S), bool), k=S - L)
         logits = jnp.where(mask, logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("...ls,...sd->...ld", w, v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum(
+        "...ls,...sd->...ld", w, v.astype(jnp.float32), precision=hi
+    ).astype(q.dtype)
 
 
 def _cdiv(a, b):

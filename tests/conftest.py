@@ -6,7 +6,11 @@ the same code paths run on real TPU slices unchanged.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# DMX_TEST_TPU=1 lets TPU-marked tests run on the real chip (one process at a
+# time — the tunnel is a single exclusive lease); default is CPU-only.
+_USE_TPU = os.environ.get("DMX_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,7 +23,8 @@ import pytest  # noqa: E402
 # The deployment forces the 'axon' TPU platform into jax_platforms regardless
 # of the env var; tests must NOT touch the (single, exclusively-leased) TPU
 # tunnel, so pin the config explicitly to CPU before any backend init.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: reruns of the suite skip recompilation
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

@@ -54,7 +54,9 @@ def _write_opt_checkpoint(path):
             ("fc1", layer.fc1),
             ("fc2", layer.fc2),
         ]:
-            tensors[f"{p}.{name}.weight"] = np.asarray(lin.kernel.value).T
+            tensors[f"{p}.{name}.weight"] = np.ascontiguousarray(
+                np.asarray(lin.kernel.value).T
+            )
             tensors[f"{p}.{name}.bias"] = np.asarray(lin.bias.value)
         for name, ln in [
             ("self_attn_layer_norm", layer.self_attn_layer_norm),

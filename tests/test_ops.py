@@ -59,14 +59,19 @@ def test_bfp_linear_ref_matches_fake_quant_matmul():
 
 
 def test_bfp_linear_pallas_matches_ref():
-    """Pallas fused kernel vs jnp reference (runs in interpret mode off-TPU)."""
-    x = randf(8, 128)
-    w = randf(64, 128)
+    """Pallas fused kernel vs jnp reference (runs in interpret mode off-TPU).
+
+    Activations are BFP-quantized first (the BASIC path): 8-bit mantissas are
+    exact in the MXU's bf16 multiplier, so the fused kernel is bit-comparable
+    to the fp32 reference."""
+    fmt = Format.from_shorthand("BFP[8|8]{64}(SN)")
+    x = fmt.cast(randf(8, 128), block_dim=-1)
+    w = randf(300, 128)  # N not a multiple of the kernel block
     packed = bfp_pack(w, 8, 64)
     want = np.asarray(bfp_linear_ref(x, packed))
     if jax.devices()[0].platform == "tpu":
         got = np.asarray(bfp_linear(x, packed, use_pallas=True))
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
     else:
         got = np.asarray(bfp_linear(x, packed, use_pallas=False))
         np.testing.assert_array_equal(got, want)
