@@ -35,6 +35,16 @@ ROUNDING_MODE = {"U": "up", "D": "down", "N": "nearest", "S": "stochastic"}
 ROUNDING_MODE_INV = {v: k for k, v in ROUNDING_MODE.items()}
 
 
+def _rounding(letter: str) -> str:
+    try:
+        return ROUNDING_MODE[letter]
+    except KeyError:
+        raise ValueError(
+            f"unknown rounding letter {letter!r}; expected one of "
+            f"{sorted(ROUNDING_MODE)} (U=up, D=down, N=nearest, S=stochastic)"
+        ) from None
+
+
 class Format:
     """Abstract tensor numerical format (reference format.py:33-76)."""
 
@@ -148,7 +158,7 @@ class FixedPoint(Format):
             fraction=int(m.group(2)),
             clamp=m.group(3) == "C",
             symmetric=m.group(4) == "S",
-            rounding=ROUNDING_MODE[m.group(5)],
+            rounding=_rounding(m.group(5)),
         )
 
     def __repr__(self):
@@ -230,7 +240,7 @@ class FloatingPoint(Format):
             bias=int(m.group(4)),
             flush_subnormal=m.group(5) == "F",
             unsigned=m.group(1) == "0",
-            rounding=ROUNDING_MODE[m.group(6)],
+            rounding=_rounding(m.group(6)),
         )
 
     def __repr__(self):
@@ -309,7 +319,7 @@ class BlockFloatingPoint(Format):
             precision=int(m.group(1)),
             block_size=int(m.group(2)),
             symmetric=m.group(4) == "S",
-            rounding=ROUNDING_MODE[m.group(5)],
+            rounding=_rounding(m.group(5)),
         )
 
     def __repr__(self):

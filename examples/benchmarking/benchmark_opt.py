@@ -1,6 +1,12 @@
 """Per-mode runtime/error benchmark for OPT (the reference
 examples/benchmarking/benchmark_llama.py flow, offline: random weights)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx

@@ -2,6 +2,12 @@
 flow, offline-friendly): build OPT, apply BASIC rules, calibrate input
 quantizers + SmoothQuant on synthetic data, measure perplexity deltas."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax.numpy as jnp
 from flax import nnx

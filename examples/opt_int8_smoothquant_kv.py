@@ -10,6 +10,12 @@ additions):
   5. report perplexity deltas vs fp32
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

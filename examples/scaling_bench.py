@@ -6,6 +6,12 @@ validates the sharded program end-to-end on a virtual CPU mesh (numbers are
 then about correctness, not performance).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import time
 
 import jax
