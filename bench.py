@@ -80,15 +80,18 @@ def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=3) -> float:
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
 
     state, tok = prefill(state, ids)
-    jax.block_until_ready(tok)
+    _ = float(jnp.sum(tok))
 
     best = 0.0
     # each rep rewrites the same cache window (positions restart), so the
-    # compute per rep is identical; rep 1 doubles as the compile warmup
+    # compute per rep is identical; rep 1 doubles as the compile warmup.
+    # NOTE: the result is reduced and transferred to host inside the timed
+    # region — on tunneled TPUs block_until_ready can return before compute
+    # completes, so a host readback is the only honest completion barrier.
     for i in range(reps + 1):
         t0 = time.perf_counter()
         state, toks = generate(state, tok)
-        jax.block_until_ready(toks)
+        _ = float(jnp.sum(toks))  # true completion barrier
         dt = time.perf_counter() - t0
         if i > 0:
             best = max(best, batch * (gen_len - 1) / dt)
@@ -96,15 +99,22 @@ def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=3) -> float:
 
 
 def main():
+    import sys
+
     from dmx_compressor_tpu.models.opt import OPTConfig
 
-    cfg = OPTConfig.opt_125m()
+    name = sys.argv[1] if len(sys.argv) > 1 else "opt-125m"
+    cfg = {
+        "opt-125m": OPTConfig.opt_125m,
+        "opt-350m": OPTConfig.opt_350m,
+        "opt-1.3b": OPTConfig.opt_1_3b,
+    }[name]()
     quant = run("basic", cfg)
     base = run("baseline", cfg)
     print(
         json.dumps(
             {
-                "metric": "opt125m_basic_decode_tokens_per_sec_per_chip",
+                "metric": f"{name.replace('-', '')}_basic_decode_tokens_per_sec_per_chip",
                 "value": round(quant, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(quant / base, 4),

@@ -16,7 +16,7 @@ import numpy as np
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, make_caches
+from ..ops.kv_cache import KVCache, make_caches, quantized_sdpa
 
 
 @dataclasses.dataclass
@@ -67,9 +67,13 @@ class GPT2Attention(nnx.Module):
             return t.reshape(B, T, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        if cache is not None:
-            k, v, _ = cache.update(k, v)
-        out = self.sdpa(q, k, v, attn_mask=attn_mask)
+        if cache is not None and getattr(cache, "quantized", False):
+            kv = cache.update_quantized(k, v)
+            out = quantized_sdpa(q, kv, attn_mask=attn_mask)
+        else:
+            if cache is not None:
+                k, v, _ = cache.update(k, v)
+            out = self.sdpa(q, k, v, attn_mask=attn_mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         return self.c_proj(out)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, make_caches
+from ..ops.kv_cache import KVCache, make_caches, quantized_sdpa
 
 
 @dataclasses.dataclass
@@ -87,9 +87,14 @@ class LlamaAttention(nnx.Module):
         k = self._split(self.k_proj(x), self.num_kv_heads)
         v = self._split(self.v_proj(x), self.num_kv_heads)
         q, k = self.apply_rope(q, k, cos, sin)
-        if cache is not None:
-            k, v, _ = cache.update(k, v)
-        out = self.sdpa(q, k, v, attn_mask=attn_mask, enable_gqa=self.num_kv_heads != self.num_heads)
+        gqa = self.num_kv_heads != self.num_heads
+        if cache is not None and getattr(cache, "quantized", False):
+            kv = cache.update_quantized(k, v)
+            out = quantized_sdpa(q, kv, attn_mask=attn_mask, enable_gqa=gqa)
+        else:
+            if cache is not None:
+                k, v, _ = cache.update(k, v)
+            out = self.sdpa(q, k, v, attn_mask=attn_mask, enable_gqa=gqa)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         return self.o_proj(out)
 

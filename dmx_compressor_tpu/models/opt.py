@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, QuantizedKVCache, make_caches
+from ..ops.kv_cache import KVCache, QuantizedKVCache, make_caches, quantized_sdpa
 
 
 @dataclasses.dataclass
@@ -79,9 +79,15 @@ class OPTAttention(nnx.Module):
         q = self._split(self.q_proj(x))
         k = self._split(self.k_proj(x))
         v = self._split(self.v_proj(x))
-        if cache is not None:
-            k, v, _ = cache.update(k, v)
-        out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
+        if cache is not None and getattr(cache, "quantized", False):
+            # int8 fast path: K/V stay int8 in HBM, scales applied after the
+            # attention matmuls (ops/kv_cache.quantized_sdpa)
+            kv = cache.update_quantized(k, v)
+            out = quantized_sdpa(q, kv, attn_mask=attn_mask, scale=self.scaling)
+        else:
+            if cache is not None:
+                k, v, _ = cache.update(k, v)
+            out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         return self.out_proj(out)
 

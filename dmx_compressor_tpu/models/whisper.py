@@ -18,7 +18,7 @@ from flax import nnx
 
 from .. import rawnn
 from ..nn.experimental import Conv1dUnfold
-from ..ops.kv_cache import KVCache, make_caches
+from ..ops.kv_cache import KVCache, make_caches, quantized_sdpa
 
 
 @dataclasses.dataclass
@@ -102,9 +102,13 @@ class WhisperAttention(nnx.Module):
         q = self._split(self.q_proj(x))
         k = self._split(self.k_proj(kv))
         v = self._split(self.v_proj(kv))
-        if cache is not None:
-            k, v, _ = cache.update(k, v)
-        out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
+        if cache is not None and getattr(cache, "quantized", False):
+            kv = cache.update_quantized(k, v)
+            out = quantized_sdpa(q, kv, attn_mask=attn_mask, scale=self.scaling)
+        else:
+            if cache is not None:
+                k, v, _ = cache.update(k, v)
+            out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
         return self.out_proj(out.transpose(0, 2, 1, 3).reshape(B, T, D))
 
 

@@ -786,6 +786,14 @@ class GemmaRMSNorm(RMSNorm):
         super().__init__(normalized_shape, eps=eps, **kwargs)
         self.weight.value = jnp.zeros(self.normalized_shape)
 
+    @classmethod
+    def from_raw(cls, raw) -> "GemmaRMSNorm":
+        param = getattr(raw, "scale", None) or raw.weight
+        eps = getattr(raw, "epsilon", None) or raw.eps
+        mod = cls(param.value.shape[-1], eps=eps)
+        mod.weight.value = param.value
+        return mod
+
     def functional_forward(self, x, normalized_shape, weight, eps):
         xf = x.astype(jnp.float32)
         ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)

@@ -199,6 +199,16 @@ class FloatingPoint(Format):
             x.dtype == jnp.float16 and r == "FP[1|5|10,15](FN)"
         ):
             out = x
+        elif r == "FP[1|5|10,15](FN)" and x.dtype == jnp.float32:
+            # FLOAT16 fast path: the hardware fp16 cast IS the format
+            # (round-nearest-even on the same grid); saturate at the fp16 max
+            # instead of the reference's default-bias clip (which produces
+            # values beyond fp16 range) and flush subnormals below.
+            y = jnp.clip(x, -65504.0, 65504.0).astype(jnp.float16)
+            y = jnp.where(
+                jnp.abs(y) < jnp.float16(6.103515625e-05), jnp.float16(0), y
+            )
+            return y.astype(x.dtype)
         else:
             out = R.float_quantize(
                 x.astype(jnp.float32),
@@ -289,6 +299,23 @@ class BlockFloatingPoint(Format):
                 rounding=self.rounding,
                 key=key,
             ).astype(x.dtype)
+
+        bd = block_dim % max(x.ndim, 1) if x.ndim else 0
+        if (
+            self.symmetric
+            and x.ndim >= 1
+            and x.shape[block_dim] % self.block_size == 0
+        ):
+            # serving fast path: layout-preserving, fusion-friendly
+            if bd == x.ndim - 1:
+                return R.block_quantize_lastdim(
+                    x, self.precision, self.block_size, self.rounding, key
+                )
+            xt = jnp.moveaxis(x, bd, -1)
+            q = R.block_quantize_lastdim(
+                xt, self.precision, self.block_size, self.rounding, key
+            )
+            return jnp.moveaxis(q, -1, bd)
 
         def _fn(blocks):
             q = R.block_quantize(blocks, wl=self.precision, rounding=self.rounding, key=key)

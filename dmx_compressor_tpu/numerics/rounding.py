@@ -304,6 +304,45 @@ def make_mantissa_asymmetric(q: Array, x: Array, n_mantissa_bits: int = 8) -> Ar
     return new_q.astype(q.dtype)
 
 
+def block_quantize_lastdim(
+    x: Array,
+    wl: int,
+    block_size: int,
+    rounding: str = "nearest",
+    key: Optional[Array] = None,
+) -> Array:
+    """Reshape-free symmetric BFP over the last axis (bit-identical to
+    :func:`block_quantize` on a blocked view).
+
+    The transpose/reshape/pad layout of ``apply_blockwise`` compiles into
+    many small TPU kernels; on the serving path that op overhead dominates
+    decode latency.  This variant keeps the data layout: per-block maxima via
+    ``reduce_window`` and a lane-broadcast of the shared exponent via
+    ``jnp.repeat`` — a handful of fusable ops.  Requires
+    ``x.shape[-1] % block_size == 0``.
+    """
+    assert rounding in _ROUNDINGS
+    assert x.shape[-1] % block_size == 0
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    window = (1,) * (xf.ndim - 1) + (block_size,)
+    amax = jax.lax.reduce_window(
+        jnp.abs(xf), -jnp.inf, jax.lax.max, window, window, "VALID"
+    )  # [..., K // B]
+    e = jnp.repeat(_exponent_of(amax), block_size, axis=-1)  # [..., K]
+    zero = jnp.repeat(_is_zero(amax), block_size, axis=-1)
+    base = _mul_pow2(jnp.full_like(xf, 1.5), e + 2)  # 6 * 2^e, exact
+    t = xf + base  # fp32 add: reference double rounding
+    scaled = _mul_pow2(t, wl - 2 - e)
+    q = _round_int_on_grid(scaled, rounding, key, bit_mode=True)  # t > 0
+    q = _mul_pow2(q, e + 2 - wl) - base
+    lim = _mul_pow2(jnp.ones_like(xf), e + 1)
+    maxv = (2.0 - 2.0 ** (-(wl - 2))) * _mul_pow2(jnp.ones_like(xf), e)
+    q = jnp.where(jnp.abs(q) >= lim, jnp.sign(q) * maxv, q)
+    q = jnp.where(zero, xf, q)
+    return q.astype(orig_dtype)
+
+
 # ---------------------------------------------------------------------------
 # shaping helper: blocks along an arbitrary dim with remainder handling
 # ---------------------------------------------------------------------------

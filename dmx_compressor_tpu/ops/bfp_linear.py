@@ -63,52 +63,79 @@ def _bfp_matmul_pallas(
     N = man.shape[0]
     bm = max(8, min(128, _ceil_to(M, 8)))
     bn = min(bn, _ceil_to(N, 128))
+    # K tile: keeps VMEM under budget (x f32 + man int8 + dequant f32 +
+    # scale f32, double buffered) while keeping quantization blocks whole
+    bk = min(_ceil_to(K, block_size), 2048)
     # pad operands to whole blocks (grid reads must stay in bounds)
-    padM, padN = (-M) % bm, (-N) % bn
+    padM, padN, padK = (-M) % bm, (-N) % bn, (-K) % bk
     if padM:
         x = jnp.pad(x, ((0, padM), (0, 0)))
     if padN:
         man = jnp.pad(man, ((0, padN), (0, 0)))
         exp = jnp.pad(exp, ((0, padN), (0, 0)))
-    Mp, Np = M + padM, N + padN
-    grid = (Mp // bm, Np // bn)
+    if padK:
+        x = jnp.pad(x, ((0, 0), (0, padK)))
+        man = jnp.pad(man, ((0, 0), (0, padK)))
+        exp = jnp.pad(exp, ((0, 0), (0, padK // block_size)))
+    Mp, Np, Kp = M + padM, N + padN, K + padK
+    grid = (Mp // bm, Np // bn, Kp // bk)
 
-    nb = K // block_size
+    nb = bk // block_size
+    nt = Kp // bk
+    # Mosaic requires lane-dim blocks divisible by 128 (or full): lay the
+    # exponents out as one zero-padded 128-wide slot per K-tile.  Padded rows
+    # are inert: the expansion matrix maps them to out-of-tile columns.
+    ESLOT = max(128, _ceil_to(nb, 128))
+    exp_slotted = jnp.pad(
+        exp.reshape(Np, nt, nb), ((0, 0), (0, 0), (0, ESLOT - nb))
+    ).reshape(Np, nt * ESLOT)
 
     def kernel(x_ref, man_ref, exp_ref, out_ref):
-        # Expand per-block scales [bn, nb] to per-lane [bn, K] with a tiny
-        # 0/1 expansion matmul (E[b, c] = 1 iff c // B == b).  Mosaic has no
-        # element-repeat (pltpu.repeat tiles) and rejects sub-128 lane slices
-        # or reshapes, but an MXU matmul against an iota-built constant is
-        # fully supported and costs ~nothing (nb is K/64).
-        e = exp_ref[:].astype(jnp.float32)  # [bn, nb]
+        # Expand per-block scales [bn, ESLOT] to per-lane [bn, bk] with a
+        # tiny 0/1 expansion matmul (E[b, c] = 1 iff c // B == b).  Mosaic
+        # has no element-repeat (pltpu.repeat tiles) and rejects sub-128 lane
+        # slices or reshapes, but an MXU matmul against an iota-built
+        # constant is fully supported, exact (one nonzero per output), and
+        # ~free.  Slot rows beyond nb hit no column (c // B < nb).
+        e = exp_ref[:].astype(jnp.float32)  # [bn, ESLOT]
         s = jnp.exp2(e + (2 - precision))
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nb, K), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (nb, K), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ESLOT, bk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ESLOT, bk), 1)
         expand = (cols // block_size == rows).astype(jnp.float32)
         scale_full = jax.lax.dot_general(
             s, expand, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bn, K]
+        )  # [bn, bk]
         w = man_ref[:].astype(jnp.float32) * scale_full
-        out_ref[:] = jax.lax.dot_general(
+        partial = jax.lax.dot_general(
             x_ref[:].astype(jnp.float32),
             w,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            out_ref[:] = partial
+
+        @pl.when(pl.program_id(2) != 0)
+        def _():
+            out_ref[:] = out_ref[:] + partial
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, K), lambda i, j: (i, 0)),
-            pl.BlockSpec((bn, K), lambda i, j: (j, 0)),
-            pl.BlockSpec((bn, K // block_size), lambda i, j: (j, 0)),
+            pl.BlockSpec((bm, bk), lambda i, j, t: (i, t)),
+            pl.BlockSpec((bn, bk), lambda i, j, t: (j, t)),
+            pl.BlockSpec((bn, ESLOT), lambda i, j, t: (j, t)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((_ceil_to(M, bm), _ceil_to(N, bn)), jnp.float32),
-    )(x, man, exp)
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, t: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(x, man, exp_slotted)
     return out[:M, :N]
 
 

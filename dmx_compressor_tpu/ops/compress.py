@@ -48,6 +48,16 @@ class PackedBFPLinear(DmxModule):
         self.weight_exponent = nnx.Variable(packed.exponent)
         self.precision = packed.precision
         self.block_size = packed.block_size
+        # bf16 dequant cache: EXACT for mantissa width <= 8 (BFP16/14/12),
+        # used for small-M (decode) matmuls where the fused kernel's on-chip
+        # scale expansion does not amortize; 2 bytes/elem vs 4 for fp32
+        from .bfp_pack import bfp_unpack
+
+        self.weight_bf16 = (
+            nnx.Variable(bfp_unpack(packed).astype(jnp.bfloat16))
+            if packed.precision <= 9
+            else None
+        )
         self.bias = nnx.Param(bias) if bias is not None else None
         # inherit the live input/output/bias casts so activation quantization
         # and calibration state carry over
@@ -66,6 +76,23 @@ class PackedBFPLinear(DmxModule):
         )
 
     def _forward(self, _input):
+        rows = 1
+        for d in _input.shape[:-1]:
+            rows *= d
+        if self.weight_bf16 is not None and rows < 128:
+            # decode path: bf16 weights feed the MXU directly (exact for
+            # quantized operands), half the fp32 HBM traffic, zero kernel
+            # overhead at tiny M
+            # both operands are exact in bf16 (quantized values have <= 8
+            # mantissa bits), so a single bf16 MXU pass is lossless
+            y = jnp.matmul(
+                _input.astype(jnp.bfloat16),
+                self.weight_bf16.value.T,
+                preferred_element_type=jnp.float32,
+            )
+            if self.bias is not None:
+                y = y + self._bias.astype(y.dtype)
+            return y.astype(_input.dtype)
         return bfp_linear(_input, self.packed, bias=self._bias)
 
     def _flops_for(self, input_shape, output_shape):

@@ -15,13 +15,62 @@ vs fp32 (2x vs bf16).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import nnx
 
 Array = jax.Array
+
+
+class QuantKV(NamedTuple):
+    """Int8 KV payloads + per-(batch, head, position) scales."""
+
+    k_q: Array  # [B, H, S, D] int8
+    v_q: Array  # [B, H, S, D] int8
+    k_scale: Array  # [B, H, S] f32
+    v_scale: Array  # [B, H, S] f32
+
+
+def quantized_sdpa(
+    q: Array,
+    kv: QuantKV,
+    attn_mask=None,
+    scale=None,
+    out_dtype=None,
+    enable_gqa: bool = False,
+):
+    """Attention consuming int8 K/V directly (scale after the matmuls).
+
+    logits = (q @ k_q^T) * k_scale  — exact: the per-key scale factors out of
+    the QK contraction; probs @ v becomes (probs * v_scale) @ v_q likewise.
+    HBM reads stay int8, nothing fp32-sized is materialized.
+    """
+    out_dtype = out_dtype or q.dtype
+    D = q.shape[-1]
+    scale = (D**-0.5) if scale is None else scale
+    if enable_gqa and q.shape[-3] != kv.k_q.shape[-3]:
+        rep = q.shape[-3] // kv.k_q.shape[-3]
+        kv = QuantKV(
+            jnp.repeat(kv.k_q, rep, axis=-3),
+            jnp.repeat(kv.v_q, rep, axis=-3),
+            jnp.repeat(kv.k_scale, rep, axis=-2),
+            jnp.repeat(kv.v_scale, rep, axis=-2),
+        )
+    qf = q.astype(jnp.float32)
+    logits = jnp.einsum(
+        "...ld,...sd->...ls", qf, kv.k_q.astype(jnp.float32)
+    ) * (kv.k_scale[..., None, :] * scale)
+    if attn_mask is not None:
+        logits = logits + attn_mask.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "...ls,...sd->...ld",
+        w * kv.v_scale[..., None, :],
+        kv.v_q.astype(jnp.float32),
+    )
+    return out.astype(out_dtype)
 
 
 class KVCache(nnx.Module):
@@ -78,6 +127,27 @@ class QuantizedKVCache(nnx.Module):
         return q, scale.astype(jnp.float32)
 
     def update(self, k_new: Array, v_new: Array):
+        self.update_payload(k_new, v_new)
+        k = (
+            self.k_q.value.astype(jnp.float32) * self.k_scale.value[..., None]
+        ).astype(self.out_dtype)
+        v = (
+            self.v_q.value.astype(jnp.float32) * self.v_scale.value[..., None]
+        ).astype(self.out_dtype)
+        return k, v, self.length.value
+
+    def update_quantized(self, k_new: Array, v_new: Array) -> QuantKV:
+        """Append and return the int8 payloads + scales (no dequantization);
+        consume with :func:`quantized_sdpa`."""
+        self.update_payload(k_new, v_new)
+        return QuantKV(
+            self.k_q.value,
+            self.v_q.value,
+            self.k_scale.value,
+            self.v_scale.value,
+        )
+
+    def update_payload(self, k_new: Array, v_new: Array) -> None:
         pos = self.length.value
         kq, ks = self._quantize(k_new.astype(jnp.float32))
         vq, vs = self._quantize(v_new.astype(jnp.float32))
@@ -94,13 +164,6 @@ class QuantizedKVCache(nnx.Module):
             self.v_scale.value, vs, (0, 0, pos)
         )
         self.length.value = pos + k_new.shape[2]
-        k = (
-            self.k_q.value.astype(jnp.float32) * self.k_scale.value[..., None]
-        ).astype(self.out_dtype)
-        v = (
-            self.v_q.value.astype(jnp.float32) * self.v_scale.value[..., None]
-        ).astype(self.out_dtype)
-        return k, v, self.length.value
 
     @property
     def k(self):  # buffer-shape compat (mask construction reads .k.value.shape)

@@ -194,6 +194,27 @@ class RotaryEmbedding(nnx.Module):
         )
 
 
+class GemmaRMSNorm(nnx.Module):
+    """Raw Gemma-style (1 + weight) RMSNorm."""
+
+    def __init__(self, dim: int, eps: float = 1e-6):
+        self.weight = nnx.Param(jnp.zeros((dim,)))
+        self.eps = eps
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + self.eps)
+        return (y * (1.0 + self.weight.value.astype(jnp.float32))).astype(x.dtype)
+
+
+class ClippedGELU(nnx.Module):
+    def __init__(self, min: float = -10, max: float = 10):
+        self.min, self.max = min, max
+
+    def __call__(self, x):
+        return jnp.clip(jax.nn.gelu(x), self.min, self.max)
+
+
 class RMSNorm(nnx.Module):
     """Raw RMSNorm with torch-style weight (for models authored here)."""
 

@@ -68,6 +68,8 @@ RAW_OP_MAPPING: Dict[Type, Callable] = {
     rawnn.ApplyRotaryPosEmb: dmxnn.ApplyRotaryPosEmb.from_raw,
     rawnn.RotaryEmbedding: dmxnn.RotaryEmbedding.from_raw,
     rawnn.RMSNorm: dmxnn.RMSNorm.from_raw,
+    rawnn.GemmaRMSNorm: dmxnn.GemmaRMSNorm.from_raw,
+    rawnn.ClippedGELU: dmxnn.ClippedGELU.from_raw,
 }
 
 

@@ -50,14 +50,27 @@ def configure_mode(dm, mode: EVALUATION_MODE):
     return dm
 
 
+def device_sync(out) -> float:
+    """True completion barrier: reduce + host readback.
+
+    On tunneled TPUs ``jax.block_until_ready`` can return before compute
+    finishes, so timing must read a value back to host.
+    """
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+    acc = 0.0
+    for x in leaves[:1]:  # one leaf suffices: it depends on the whole step
+        acc += float(jnp.sum(jnp.abs(x).astype(jnp.float32)))
+    return acc
+
+
 def measure_runtime(fn: Callable, *args, reps: int = 5, warmup: int = 2) -> float:
     """Best wall-clock of a device-synchronized callable (seconds)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 

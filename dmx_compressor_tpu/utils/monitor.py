@@ -26,10 +26,13 @@ class _Recorder:
 
     def __call__(self, *args, **kwargs):
         if self._measure_runtime:
-            jax.block_until_ready(args[0]) if args else None
+            from .benchmark import device_sync
+
+            if args:
+                device_sync(args[0])
             t0 = time.perf_counter()
             out = self._mod(*args, **kwargs)
-            jax.block_until_ready(out)
+            device_sync(out)
             self._record.runtimes.append(time.perf_counter() - t0)
         else:
             out = self._mod(*args, **kwargs)

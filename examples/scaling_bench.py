@@ -43,11 +43,13 @@ def measure(mesh_shape, cfg, batch=8, seq=128, reps=3):
             jnp.asarray(rng.integers(0, cfg.vocab_size, (batch * dp, seq)), jnp.int32),
             data_sharding(mesh),
         )
-        jax.block_until_ready(f(state, ids))  # compile
+        from dmx_compressor_tpu.utils.benchmark import device_sync
+
+        device_sync(f(state, ids))  # compile
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(state, ids))
+            device_sync(f(state, ids))
             best = min(best, time.perf_counter() - t0)
     return batch * dp * seq / best
 

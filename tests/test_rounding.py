@@ -155,3 +155,32 @@ def test_jit_and_grad_compatible():
     f = jax.jit(lambda x: fmt.cast(x, block_dim=-1))
     x = jnp.asarray(rand_f32((4, 64)))
     np.testing.assert_array_equal(np.asarray(f(x)), np.asarray(fmt.cast(x)))
+
+
+@pytest.mark.parametrize("mode", ["nearest", "up", "down"])
+def test_block_lastdim_fast_path_bit_equal(mode):
+    """The layout-preserving fast path must be bit-identical to the blocked
+    view path (and hence to the reference)."""
+    x = rand_f32((4, 3, 128))
+    x[0, 0, :64] = 0.0  # zero block
+    slow = oracle.bfp_cast(x, 8, 64, -1, True, mode).astype(np.float32)
+    fast = np.asarray(
+        R.block_quantize_lastdim(jnp.asarray(x), 8, 64, mode)
+    )
+    np.testing.assert_array_equal(fast, slow)
+    # through the Format API (which now routes to the fast path)
+    fmt = Format.from_shorthand(f"BFP[8|8]{{64}}({'S'}{'N' if mode=='nearest' else mode[0].upper()})")
+    got = np.asarray(fmt.cast(jnp.asarray(x), block_dim=-1))
+    np.testing.assert_array_equal(got, slow)
+
+
+def test_float16_fast_path_matches_generic():
+    """Native-fp16 FLOAT16 cast == generic float_quantize on fp16-range
+    values (the fast path deviates only above 65504, by design)."""
+    x = rand_f32((4096,), scale=100.0)
+    fmt = Format.from_shorthand("FP[1|5|10,15](FN)")
+    got = np.asarray(fmt.cast(jnp.asarray(x)))
+    want = np.asarray(
+        R.float_quantize(jnp.asarray(x), 10, 5, 15, True, "nearest")
+    )
+    np.testing.assert_array_equal(got, want)

@@ -206,3 +206,24 @@ def test_compiled_forward():
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16)), np.float32)
     f = dm.compiled()
     np.testing.assert_allclose(np.asarray(f(x)), np.asarray(dm(x)), atol=1e-6)
+
+
+def test_gemma_norm_and_clipped_gelu_substitution():
+    class Net(nnx.Module):
+        def __init__(self):
+            self.norm = rawnn.GemmaRMSNorm(16)
+            self.act = rawnn.ClippedGELU(-5, 5)
+
+        def __call__(self, x):
+            return self.act(self.norm(x))
+
+    net = Net()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16)), np.float32)
+    y_raw = np.asarray(net(x))
+    dm = DmxModel.from_raw(net)
+    assert type(net.norm).__name__ == "GemmaRMSNorm"
+    assert type(net.act).__name__ == "ClippedGELU"
+    from dmx_compressor_tpu.nn.core import DmxModule
+
+    assert isinstance(net.norm, DmxModule) and isinstance(net.act, DmxModule)
+    np.testing.assert_allclose(np.asarray(dm(x)), y_raw, atol=1e-5)
