@@ -28,7 +28,8 @@ import numpy as np
 from flax import nnx
 
 
-def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int):
+def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
+          quantized_kv: bool = False):
     from dmx_compressor_tpu.modeling.model import DmxModel
     from dmx_compressor_tpu.models.opt import OPTForCausalLM
 
@@ -51,10 +52,12 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int):
                 m.approximator.function = NoApproximation()
         compress_for_inference(dm)
         set_inference_mode(True)  # surrogate-only approximations (same values)
-        caches = model.init_cache(batch, prompt_len + gen_len)
+        caches = model.init_cache(batch, prompt_len + gen_len,
+                                  quantized=quantized_kv)
     else:
         dm.to_baseline_mode()
-        caches = model.init_cache(batch, prompt_len + gen_len)
+        caches = model.init_cache(batch, prompt_len + gen_len,
+                                  quantized=quantized_kv)
     graphdef, state = nnx.split((model, caches))
 
     def prefill(state, ids):
@@ -86,8 +89,10 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int):
     )
 
 
-def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=3) -> float:
-    state, prefill, generate = build(mode, cfg, prompt_len, gen_len, batch)
+def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=3,
+        quantized_kv=False) -> float:
+    state, prefill, generate = build(mode, cfg, prompt_len, gen_len, batch,
+                                     quantized_kv=quantized_kv)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
 
@@ -117,14 +122,24 @@ def main():
 
     name = sys.argv[1] if len(sys.argv) > 1 else "opt-125m"
     mode = sys.argv[2] if len(sys.argv) > 2 else "weights"
+    # int8 quantized KV cache (ops/kv_cache.py) is part of the headline
+    # serving config (BASELINE.md's own OPT recipe includes a quantized KV
+    # cache); pass "fpkv" to measure with a full-precision cache instead.
+    qkv = mode == "weights" and "fpkv" not in sys.argv[3:]
+    long_ctx = "long" in sys.argv[3:]  # decode at ~2k context (KV-bound regime)
     cfg = {
         "opt-125m": OPTConfig.opt_125m,
         "opt-350m": OPTConfig.opt_350m,
         "opt-1.3b": OPTConfig.opt_1_3b,
     }[name]()
-    quant = run(mode, cfg)
-    base = run("baseline", cfg)
+    lens = {"prompt_len": 1984, "gen_len": 65} if long_ctx else {}
+    quant = run(mode, cfg, quantized_kv=qkv, **lens)
+    base = run("baseline", cfg, **lens)
     tag = "bfp16w" if mode == "weights" else mode
+    if qkv:
+        tag += "_int8kv"
+    if long_ctx:
+        tag += "_2k"
     print(
         json.dumps(
             {
