@@ -48,14 +48,31 @@ class PackedBFPLinear(DmxModule):
         self.weight_exponent = nnx.Variable(packed.exponent)
         self.precision = packed.precision
         self.block_size = packed.block_size
-        # bf16 dequant cache: EXACT for mantissa width <= 8 (BFP16/14/12),
-        # used for small-M (decode) matmuls where the fused kernel's on-chip
-        # scale expansion does not amortize; 2 bytes/elem vs 4 for fp32
+        # optional bf16 dequant cache for small-M (decode) matmuls; EXACT for
+        # mantissa width <= 8 (BFP16/14/12).  Per-layer policy measured on
+        # real hardware: the fused int8 kernel reads half the bytes and wins
+        # when the contraction is deep enough to amortize its per-tile scale
+        # expansion (OPT-1.3B all-fused: 1,605 vs 1,411 tok/s), while
+        # shallow-K / small weights are overhead-bound and the bf16 MXU path
+        # wins (OPT-125m: all-bf16 7,928 vs all-fused 5,397 vs
+        # lm-head-only-fused 6,624 tok/s).  Fused needs BOTH in_features >=
+        # 2048 AND >= 4M weights.  DMX_DECODE_BF16CACHE=1 / DMX_DECODE_FUSED=1
+        # force either path for A/B runs.
+        import os
+
         from .bfp_pack import bfp_unpack
 
+        n_weights = self.in_features * self.out_features
+        use_bf16 = packed.precision <= 9 and (
+            self.in_features < 2048
+            or n_weights < 4_000_000
+            or os.environ.get("DMX_DECODE_BF16CACHE")
+        )
+        if os.environ.get("DMX_DECODE_FUSED"):
+            use_bf16 = False
         self.weight_bf16 = (
             nnx.Variable(bfp_unpack(packed).astype(jnp.bfloat16))
-            if packed.precision <= 9
+            if use_bf16
             else None
         )
         self.bias = nnx.Param(bias) if bias is not None else None
