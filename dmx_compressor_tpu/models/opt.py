@@ -74,12 +74,53 @@ class OPTAttention(nnx.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
-    def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None):
+    def _sdpa_transparent(self) -> bool:
+        """True when the sdpa module applies no fake-quant casts or surrogate
+        (weights-only serving / raw model) — the flash kernel is then exact
+        up to fp32 summation order."""
+        from ..functional.approximate import NoApproximation
+        from ..numerics.format import Same
+
+        m = self.sdpa
+        casts = getattr(m, "input_casts", None)
+        if casts is None:
+            return True
+        ok = all(isinstance(casts[kk].format, Same) for kk in casts.keys())
+        outs = getattr(m, "output_casts", None)
+        if outs is not None:
+            ok = ok and all(isinstance(outs[kk].format, Same) for kk in outs.keys())
+        apx = getattr(m, "approximator", None)
+        if apx is not None:
+            ok = ok and isinstance(apx.function, NoApproximation)
+        return ok
+
+    def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None,
+                 position_offset=0):
         B, T, D = x.shape
         q = self._split(self.q_proj(x))
         k = self._split(self.k_proj(x))
         v = self._split(self.v_proj(x))
-        if cache is not None and getattr(cache, "quantized", False):
+        quant = cache is not None and getattr(cache, "quantized", False)
+        # Prefill at offset 0: append to the cache but attend over the fresh
+        # K/V with the blockwise flash kernel — O(T·D) memory instead of a
+        # [T, S_max] fp32 logits buffer per layer (OPT-1.3B at 2k context
+        # OOMs 16GB HBM otherwise).  Equivalent to attending over the filled
+        # cache slots; requires transparent sdpa (no fake-quant casts).
+        prefill = (
+            cache is not None
+            and T > 1
+            and isinstance(position_offset, int)
+            and position_offset == 0
+        )
+        if prefill and (quant or self._sdpa_transparent()):
+            from ..ops.flash_attention import flash_attention
+
+            if quant:
+                cache.update_payload(k, v)
+            else:
+                cache.update(k, v)
+            out = flash_attention(q, k, v, causal=True, scale=self.scaling)
+        elif quant:
             # int8 fast path: K/V stay int8 in HBM, scales applied after the
             # attention matmuls (ops/kv_cache.quantized_sdpa)
             kv = cache.update_quantized(k, v)
@@ -105,11 +146,13 @@ class OPTDecoderLayer(nnx.Module):
         self.resadd1 = rawnn.ResAdd()
         self.resadd2 = rawnn.ResAdd()
 
-    def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None):
+    def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None,
+                 position_offset=0):
         residual = x
         if self.do_layer_norm_before:
             x = self.self_attn_layer_norm(x)
-        x = self.self_attn(x, attn_mask=attn_mask, cache=cache)
+        x = self.self_attn(x, attn_mask=attn_mask, cache=cache,
+                           position_offset=position_offset)
         x = self.resadd1(x, residual)
         if not self.do_layer_norm_before:
             x = self.self_attn_layer_norm(x)
@@ -156,7 +199,9 @@ class OPTDecoder(nnx.Module):
             ).astype(x.dtype)
 
         for i, layer in enumerate(self.layers):
-            x = layer(x, attn_mask=mask, cache=None if caches is None else caches[i])
+            x = layer(x, attn_mask=mask,
+                      cache=None if caches is None else caches[i],
+                      position_offset=position_offset)
         if self.final_layer_norm is not None:
             x = self.final_layer_norm(x)
         return x

@@ -235,6 +235,13 @@ class CastTo(nnx.Module):
         x = jnp.asarray(x)
         physical_dtype = x.dtype
         try_set(self, "physical_dtype", physical_dtype)
+        if isinstance(self.format, Same) and not self.pre_transform:
+            # true identity: skip the STE add entirely.  ste(x, x) is
+            # value- and gradient-identical, but inside a scanned decode body
+            # XLA materializes it as a full copy of the operand — for cached
+            # KV buffers that is ~134 MB per cast per layer at 2k context
+            # (6+ GB of HLO temps, an HBM OOM at OPT-1.3B).
+            return x
         reverse_shaping = None
         shortcut_val = None
         if "shaping" in self.pre_transform:

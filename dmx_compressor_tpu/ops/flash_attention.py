@@ -60,19 +60,22 @@ def _cdiv(a, b):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "causal", "block_q", "block_k", "has_bias", "offset")
+    static_argnames=(
+        "scale", "causal", "block_q", "block_k", "has_bias", "offset", "s_valid"
+    )
 )
 def _flash_pallas(
     q: Array,  # [BH, L, D]
     k: Array,  # [BH, S, D]
     v: Array,  # [BH, S, D]
-    bias: Array,  # [BH, L, S] (zeros if has_bias=False)
+    bias: Array,  # [BH, L, S], or [1, 1, 1] placeholder if has_bias=False
     scale: float,
     causal: bool,
     block_q: int,
     block_k: int,
     has_bias: bool,
     offset: int = 0,  # true S - true L (diagonal position before padding)
+    s_valid: int = 0,  # if nonzero, mask key columns >= s_valid (S padding)
 ):
     from jax.experimental import pallas as pl
 
@@ -94,12 +97,15 @@ def _flash_pallas(
             )  # [BQ, BK]
             if has_bias:
                 s = s + b_ref[0, :, pl.ds(kt * block_k, block_k)].astype(jnp.float32)
+            col = kt * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            if s_valid:
+                # padded key columns must not compete in the softmax
+                s = jnp.where(col < s_valid, s, NEG_INF)
             if causal:
                 row = qi * block_q + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 0
-                )
-                col = kt * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 1
                 )
                 s = jnp.where(col <= row + offset, s, NEG_INF)
             m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -129,7 +135,11 @@ def _flash_pallas(
         pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
         pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
-        pl.BlockSpec((1, block_q, S), lambda b, i: (b, i, 0)),
+        # without a bias, a [1, 1, 1] placeholder rides along so no
+        # [BH, L, S] buffer is ever materialized in HBM
+        pl.BlockSpec((1, block_q, S), lambda b, i: (b, i, 0))
+        if has_bias
+        else pl.BlockSpec((1, 1, 1), lambda b, i: (0, 0, 0)),
     ]
     return pl.pallas_call(
         kernel,
@@ -170,8 +180,7 @@ def flash_attention(
         b2 = jnp.broadcast_to(bias, tuple(lead) + (L, S)).reshape(BH, L, S)
         has_bias = True
     else:
-        b2 = jnp.zeros((BH, 1, S), q.dtype)  # minimal dummy
-        b2 = jnp.broadcast_to(b2, (BH, L, S))
+        b2 = jnp.zeros((1, 1, 1), q.dtype)  # placeholder, never read
         has_bias = False
     bq = min(block_q, max(8, L))
     bk = min(block_k, S)
@@ -179,14 +188,16 @@ def flash_attention(
     padL = (-L) % bq
     if padL:
         q2 = jnp.pad(q2, ((0, 0), (0, padL), (0, 0)))
-        b2 = jnp.pad(b2, ((0, 0), (0, padL), (0, 0)))
+        if has_bias:
+            b2 = jnp.pad(b2, ((0, 0), (0, padL), (0, 0)))
     padS = (-S) % bk
     if padS:
         k2 = jnp.pad(k2, ((0, 0), (0, padS), (0, 0)))
         v2 = jnp.pad(v2, ((0, 0), (0, padS), (0, 0)))
-        b2 = jnp.pad(b2, ((0, 0), (0, 0), (0, padS)), constant_values=NEG_INF)
-        has_bias = True
+        if has_bias:
+            b2 = jnp.pad(b2, ((0, 0), (0, 0), (0, padS)), constant_values=NEG_INF)
     out = _flash_pallas(
-        q2, k2, v2, b2, scale, causal, bq, bk, has_bias, offset=S - L
+        q2, k2, v2, b2, scale, causal, bq, bk, has_bias,
+        offset=S - L, s_valid=S if padS else 0,
     )
     return out[:, :L].reshape(*lead, L, D)

@@ -36,6 +36,32 @@ def test_opt_forward_and_cache_parity():
     np.testing.assert_allclose(inc, full, atol=2e-3)
 
 
+def test_opt_flash_prefill_parity():
+    """Prefill at offset 0 runs the blockwise flash path over fresh K/V
+    (models/opt.py OPTAttention) — must match the full uncached forward,
+    and subsequent cached decode must continue exactly."""
+    from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig.tiny()
+    model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+    x = ids(2, 8, cfg.vocab_size)
+    full = np.asarray(model(x))
+
+    caches = model.init_cache(2, 8)
+    pre = model(x[:, :6], caches=caches, position_offset=0)  # flash prefill
+    np.testing.assert_allclose(np.asarray(pre), full[:, :6], atol=2e-3)
+    step = model(x[:, 6:7], caches=caches, position_offset=6)
+    np.testing.assert_allclose(np.asarray(step)[:, 0], full[:, 6], atol=2e-3)
+
+    # int8 cache: prefill still appends quantized payloads for later decode
+    qcaches = model.init_cache(2, 8, quantized=True)
+    qpre = model(x[:, :6], caches=qcaches, position_offset=0)
+    np.testing.assert_allclose(np.asarray(qpre), full[:, :6], atol=2e-3)
+    assert int(qcaches[0].length.value) == 6
+    qstep = model(x[:, 6:7], caches=qcaches, position_offset=6)
+    np.testing.assert_allclose(np.asarray(qstep)[:, 0], full[:, 6], atol=0.05)
+
+
 def test_opt_basic_mode_runs():
     from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
 

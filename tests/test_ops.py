@@ -109,6 +109,29 @@ def test_compress_for_inference_preserves_numerics():
     np.testing.assert_allclose(after, before, atol=1e-6)
 
 
+def test_packed_linear_decode_path_policy():
+    """Per-layer decode path: bf16 dequant cache only for shallow-K / small
+    weights; deep-K large layers run the fused int8 kernel (hardware A/B in
+    ops/compress.py).  Both paths are exact for <= 8-bit mantissas, so the
+    policy must not change values."""
+    from dmx_compressor_tpu.nn import modules as dmxnn_mod
+
+    def make(in_f, out_f):
+        lin = dmxnn_mod.Linear(in_f, out_f, rngs=nnx.Rngs(0))
+        lin.configure({"weight_format": "BFP[8|8]{64}(SN)"})  # BFP16_64
+        return PackedBFPLinear.from_linear(lin), lin
+
+    small, _ = make(128, 64)  # shallow K -> bf16 cache
+    assert small.weight_bf16 is not None
+    big, big_src = make(2048, 2048)  # deep K, >= 4M weights -> fused kernel
+    assert big.weight_bf16 is None
+
+    x = randf(4, 2048)
+    np.testing.assert_allclose(
+        np.asarray(big(x)), np.asarray(big_src(x)), rtol=1e-6, atol=1e-5
+    )
+
+
 def test_conv1d_unfold_matches_conv():
     from dmx_compressor_tpu.nn.experimental import Conv1dUnfold
 
