@@ -52,11 +52,14 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
                 m.approximator.function = NoApproximation()
         compress_for_inference(dm)
         set_inference_mode(True)  # surrogate-only approximations (same values)
-        caches = model.init_cache(batch, prompt_len + gen_len,
+        # prompt_len + gen_len - 1 slots are written (prefill + gen_len-1
+        # decode steps); keeping the cache length 64-aligned lets the fused
+        # BASIC attention kernels engage (S % block == 0)
+        caches = model.init_cache(batch, prompt_len + gen_len - 1,
                                   quantized=quantized_kv)
     else:
         dm.to_baseline_mode()
-        caches = model.init_cache(batch, prompt_len + gen_len,
+        caches = model.init_cache(batch, prompt_len + gen_len - 1,
                                   quantized=quantized_kv)
     graphdef, state = nnx.split((model, caches))
 

@@ -74,6 +74,24 @@ class OPTAttention(nnx.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
+    def fuse_for_inference(self) -> None:
+        """Merge q/k/v into one packed projection when possible (called by
+        ops.compress.compress_for_inference; bit-exact, decode-kernel-count
+        optimization)."""
+        from ..ops.compress import merge_parallel_linears
+
+        merged = merge_parallel_linears([self.q_proj, self.k_proj, self.v_proj])
+        if merged is not None:
+            self.qkv_merged = merged
+
+    def _project_qkv(self, x):
+        merged = getattr(self, "qkv_merged", None)
+        if merged is not None:
+            qkv = merged(x)
+            d = self.num_heads * self.head_dim
+            return qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
+        return self.q_proj(x), self.k_proj(x), self.v_proj(x)
+
     def _sdpa_transparent(self) -> bool:
         """True when the sdpa module applies no fake-quant casts or surrogate
         (weights-only serving / raw model) — the flash kernel is then exact
@@ -97,9 +115,8 @@ class OPTAttention(nnx.Module):
     def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None,
                  position_offset=0):
         B, T, D = x.shape
-        q = self._split(self.q_proj(x))
-        k = self._split(self.k_proj(x))
-        v = self._split(self.v_proj(x))
+        _q, _k, _v = self._project_qkv(x)
+        q, k, v = self._split(_q), self._split(_k), self._split(_v)
         quant = cache is not None and getattr(cache, "quantized", False)
         # Prefill at offset 0: append to the cache but attend over the fresh
         # K/V with the blockwise flash kernel — O(T·D) memory instead of a
@@ -128,7 +145,19 @@ class OPTAttention(nnx.Module):
         else:
             if cache is not None:
                 k, v, _ = cache.update(k, v)
-            out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
+            out = None
+            if cache is not None and T == 1 and attn_mask is not None:
+                # fused BASIC decode attention: the whole compound-SDPA
+                # pipeline (casts + surrogate softmax) in 2 Pallas kernels
+                from ..ops.basic_attention import basic_sdpa_decode, basic_sdpa_shape
+
+                p = basic_sdpa_shape(self.sdpa, self.head_dim, k.shape[2])
+                if p is not None:
+                    out = basic_sdpa_decode(
+                        q, k, v, attn_mask, scale=self.scaling, params=p
+                    )
+            if out is None:
+                out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         return self.out_proj(out)
 

@@ -1,0 +1,359 @@
+"""Fused BASIC-mode decode attention: the compound SDPA pipeline in 2 kernels.
+
+The compound ScaledDotProductAttention (nn/modules.py:937, mirroring
+reference torch_modules.py:108-191) decomposes into actmatmul -> resadd ->
+mul -> softmax -> dropout -> actmatmul, each sub-op carrying its own BASIC
+casts.  At decode that is ~12-14 kernel chains per layer, re-casting the
+whole K/V cache every step — the dominant cost of full fake-quant decoding
+(the fp32 baseline pays none of it).  This module collapses the T=1 path to
+two Pallas kernels per layer, gridded over (batch x heads):
+
+  kernel A  q-cast + K-cast (blocks along head_dim) + QK matmul
+            + FLOAT16 chain (matmul out, +mask resadd, *scale)
+            + the SOFTMAX[vsimd] surrogate (input_clamp, max_adjust,
+              poly2 exp, Newton-refined reciprocal)  -> scores [B, H, S]
+  (host)    per-64-block shared exponents of the scores along S
+            (Mosaic cannot lane-split in-kernel; a tiny XLA fusion)
+  kernel B  score BFP cast (exponents expanded via the proven 0/1 matmul)
+            + V-cast (blocks along S, sublane-split) + WV matmul
+            + FLOAT16 output cast                    -> out [B, H, D]
+
+Numerics: every step replicates the modular pipeline's ops in f32 vector
+registers — BFP casts are the reference rebase-add (rounding.py), FLOAT16
+boundaries use the f32 emulation of the fp16 fast path, matmuls run
+bf16 x bf16 -> f32 which is lossless for BFP16-cast operands.  Parity is
+asserted against the live compound module in tests/test_basic_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..numerics import rounding as R
+from .basic_linear import (
+    _bfp_cast_with_exponents,
+    _expand01,
+    _fp16_cast_f32,
+    block_exponents,
+)
+
+Array = jax.Array
+
+
+class BasicSDPAParams(NamedTuple):
+    """Static BASIC-shape parameters extracted from a compound SDPA module."""
+
+    wl: int  # BFP mantissa bits of the actmatmul input casts
+    block: int  # BFP block size (must equal head_dim)
+    input_clamp: float  # softmax wrapper clamp
+    max_adjust: float  # surrogate max offset
+    kmax: int  # exp shift clamp
+    use_exp_large: bool
+
+
+def _exponent_with_sentinel(amax: Array) -> Array:
+    """floor(log2(amax)) with -128 marking bit-level-zero blocks."""
+    e = R._exponent_of(amax)
+    return jnp.where(R._is_zero(amax), -128.0, e.astype(jnp.float32))
+
+
+def _poly2exp_inline(x: Array, kmax: int, use_exp_large: bool) -> Array:
+    """functional/simd_ops.poly2exp with knorm=0, inlined for Pallas."""
+    LN2 = 0.6931471805599453
+    INV_LN2 = 1.4426950408889634
+    k_raw = jnp.round(x * INV_LN2)
+    k = jnp.clip(k_raw, -kmax, kmax if use_exp_large else 0)
+    r = jnp.clip(x - k * LN2, -0.5 * LN2, 0.5 * LN2)
+    p = 1.0 + r * (1.0 + r * (0.5 + r * (0.16666667 + r * 0.041666668)))
+    out = p * jnp.exp2(k)
+    return jnp.where(k_raw < -kmax, 0.0, out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "scale", "interpret"),
+)
+def _scores_kernel(
+    q: Array,  # [BH, 1, D] f32 (T == 1 squeezed, batch*heads flattened)
+    k: Array,  # [BH, S, D] f32 cache
+    mask_row: Array,  # [S] f32 additive mask (the model's causal row)
+    params: BasicSDPAParams,
+    scale: float,
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl
+
+    BH, S, D = k.shape
+    wl = params.wl
+
+    def kernel(q_ref, k_ref, m_ref, o_ref):
+        qf = q_ref[0].astype(jnp.float32)  # [1, D]
+        kf = k_ref[0].astype(jnp.float32)  # [S, D]
+
+        # q cast: one block per row (block == D), reference rebase-add
+        q_amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qe = jnp.broadcast_to(_exponent_with_sentinel(q_amax), qf.shape)
+        qc = _bfp_cast_with_exponents(qf, qe, wl)
+
+        # K cast along head_dim (the multiplier cast of q @ k.T blocks along
+        # -2 of k.T == rows of k): one block per cache row
+        k_amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
+        ke = jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape)
+        kc = _bfp_cast_with_exponents(kf, ke, wl)
+
+        # QK^T: bf16 MXU, exact for <= 8-bit mantissas, f32 accumulation
+        s = jax.lax.dot_general(
+            qc.astype(jnp.bfloat16),
+            kc.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, S]
+        s = _fp16_cast_f32(s)  # actmatmul output cast
+        bias = _fp16_cast_f32(m_ref[:].astype(jnp.float32))  # resadd(0, mask)
+        s = _fp16_cast_f32(s + bias)  # resadd output cast
+        s = s * scale  # Mul (casts SAME)
+        s = _fp16_cast_f32(s)  # softmax input cast
+        # SOFTMAX[vsimd] surrogate (functional/simd_ops.softmax, knorm=0)
+        s = jnp.maximum(s, params.input_clamp)
+        m = jnp.max(s, axis=-1, keepdims=True) - params.max_adjust
+        e = _poly2exp_inline(s - m, params.kmax, params.use_exp_large)
+        ssum = jnp.sum(e, axis=-1, keepdims=True)
+        r0 = 1.0 / ssum
+        r = r0 * (2.0 - ssum * r0)
+        w = _fp16_cast_f32(e * r)  # softmax output cast
+        o_ref[0] = w
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, S), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, 1, S), jnp.float32),
+        interpret=interpret,
+    )(q, k, mask_row.reshape(1, S))
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wl", "block", "interpret")
+)
+def _weighted_value_kernel(
+    w: Array,  # [BH, 1, S] f32 surrogate-softmax scores
+    e_w: Array,  # [BH, 1, ESLOT] int8 slotted per-64-block exponents of w
+    v: Array,  # [BH, S, D] f32 cache
+    wl: int,
+    block: int,
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl
+
+    BH, S, D = v.shape
+    nb = S // block
+    ESLOT = e_w.shape[-1]
+
+    def kernel(w_ref, e_ref, v_ref, o_ref):
+        wf = w_ref[0].astype(jnp.float32)  # [1, S]
+        # scores cast: blocks along S (the 2nd actmatmul input cast)
+        e_full = jax.lax.dot_general(
+            e_ref[0].astype(jnp.float32),
+            _expand01(ESLOT, S, block),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, S]
+        wc = _bfp_cast_with_exponents(wf, e_full, wl)
+
+        # V cast: blocks along S (the multiplier cast), sublane-split
+        vf = v_ref[0].astype(jnp.float32)  # [S, D]
+        v3 = vf.reshape(nb, block, D)
+        v_amax = jnp.max(jnp.abs(v3), axis=1, keepdims=True)  # [nb, 1, D]
+        ve = jnp.broadcast_to(_exponent_with_sentinel(v_amax), v3.shape)
+        vc = _bfp_cast_with_exponents(v3, ve, wl).reshape(S, D)
+
+        out = jax.lax.dot_general(
+            wc.astype(jnp.bfloat16),
+            vc.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, D]
+        o_ref[0] = _fp16_cast_f32(out)  # actmatmul output cast
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, ESLOT), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, 1, D), jnp.float32),
+        interpret=interpret,
+    )(w, e_w, v)
+    return out
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def basic_sdpa_decode(
+    q: Array,  # [B, H, 1, D]
+    k: Array,  # [B, H, S, D]
+    v: Array,  # [B, H, S, D]
+    mask_row: Array,  # broadcastable to [1, S], additive float mask
+    *,
+    scale: float,
+    params: BasicSDPAParams,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Fused BASIC compound-SDPA decode step; returns [B, H, 1, D]."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, H, S, D = k.shape
+    assert q.shape == (B, H, 1, D)
+    mask_row = jnp.broadcast_to(
+        jnp.asarray(mask_row, jnp.float32).reshape(-1)[-S:], (S,)
+    )
+    # flatten (B, H) into the grid axis: Mosaic requires the last two block
+    # dims to be full-size, so per-(b,h) blocks ride a [BH, ...] layout
+    w = _scores_kernel(
+        q.reshape(B * H, 1, D).astype(jnp.float32),
+        k.reshape(B * H, S, D).astype(jnp.float32),
+        mask_row,
+        params,
+        float(scale),
+        interpret=interpret,
+    )
+    nb = S // params.block
+    ESLOT = 128
+    e_w = block_exponents(w.reshape(B * H, S), params.block)
+    e_w = jnp.pad(
+        e_w.reshape(B * H, 1, nb), ((0, 0), (0, 0), (0, ESLOT - nb)),
+        constant_values=-128,
+    )
+    out = _weighted_value_kernel(
+        w, e_w, v.reshape(B * H, S, D).astype(jnp.float32),
+        params.wl, params.block,
+        interpret=interpret,
+    )
+    return out.reshape(B, H, 1, D)
+
+
+def basic_sdpa_shape(sdpa, head_dim: int, seq_len: int) -> Optional[BasicSDPAParams]:
+    """Return the fused-kernel params when the compound SDPA module is in the
+    exact BASIC decode shape this kernel reproduces; None -> modular path.
+
+    Checked surface (reference BASIC rule set, __init__.py config_rules):
+    actmatmul in BFP sym-nearest (block == head_dim for the first matmul's
+    operands, seq blocks for the second) / out FLOAT16; resadd/softmax io
+    FLOAT16; mul SAME; dropout off; SOFTMAX[vsimd] surrogate in
+    inference mode; sdpa-level casts SAME.
+    """
+    from ..functional.approximate import NoApproximation
+    from ..nn.core import DmxModule
+    from ..numerics.format import BlockFloatingPoint, FloatingPoint, Same
+
+    if not DmxModule.inference_mode or DmxModule.plugins:
+        return None
+
+    def is_fp16(f):
+        return isinstance(f, FloatingPoint) and repr(f) == "FP[1|5|10,15](FN)"
+
+    def cast_ok(c, want):
+        if c.observer_enabled or c.pre_transform or not c.fake_quant_enabled:
+            return False
+        if want == "same":
+            return isinstance(c.format, Same)
+        if want == "fp16":
+            return is_fp16(c.format)
+        if want == "bfp":
+            f = c.format
+            return (
+                isinstance(f, BlockFloatingPoint)
+                and f.symmetric
+                and f.rounding == "nearest"
+            )
+        return False
+
+    try:
+        for name in sdpa.input_cast_names:
+            if not cast_ok(sdpa.input_casts[name], "same"):
+                return None
+        if not isinstance(sdpa.approximator.function, NoApproximation):
+            return None
+        am = sdpa.actmatmul
+        ic, mc = am.input_casts["input_cast"], am.input_casts["multiplier_cast"]
+        oc = am.output_casts["output_cast"]
+        if not (cast_ok(ic, "bfp") and cast_ok(mc, "bfp") and cast_ok(oc, "fp16")):
+            return None
+        if not (
+            ic.format == mc.format
+            and ic.block_dim == -1
+            and mc.block_dim == -2
+            and ic.format.block_size == head_dim
+            and seq_len % ic.format.block_size == 0
+            and isinstance(am.approximator.function, NoApproximation)
+        ):
+            return None
+        if am.accum_cast is not None and not isinstance(am.accum_cast.format, Same):
+            return None
+        ra = sdpa.resadd
+        if not (
+            cast_ok(ra.input_casts["input_cast"], "fp16")
+            and cast_ok(ra.input_casts["residual_cast"], "fp16")
+            and cast_ok(ra.output_casts["output_cast"], "fp16")
+        ):
+            return None
+        mu = sdpa.mul
+        for c in [mu.input_casts[n] for n in mu.input_cast_names] + [
+            mu.output_casts["output_cast"]
+        ]:
+            if not cast_ok(c, "same"):
+                return None
+        sm = sdpa.softmax
+        if not (
+            cast_ok(sm.input_casts["input_cast"], "fp16")
+            and cast_ok(sm.output_casts["output_cast"], "fp16")
+            and sm.dim in (-1, 3)
+        ):
+            return None
+        fn = sm.approximator.function
+        if isinstance(fn, NoApproximation) or getattr(fn, "func_name", None) != "softmax":
+            return None
+        wp = dict(fn.wrapper_params)
+        ep = dict(fn.extra_params)
+        if wp.keys() - {"input_clamp"} or ep.keys() - {
+            "max_adjust", "knorm", "kmax", "use_exp_large"
+        }:
+            return None
+        if int(ep.get("knorm", 0)) != 0:
+            return None
+        dp = sdpa.dropout
+        if dp.p != 0.0 and not dp.deterministic:
+            return None
+        for c in [dp.input_casts[n] for n in dp.input_cast_names] + [
+            dp.output_casts["output_cast"]
+        ]:
+            if not cast_ok(c, "same"):
+                return None
+        return BasicSDPAParams(
+            wl=ic.format.precision,
+            block=ic.format.block_size,
+            input_clamp=float(wp.get("input_clamp", -jnp.inf)),
+            max_adjust=float(ep.get("max_adjust", 0.0)),
+            kmax=int(ep.get("kmax", 15)),
+            use_exp_large=bool(ep.get("use_exp_large", True)),
+        )
+    except (KeyError, AttributeError):
+        return None

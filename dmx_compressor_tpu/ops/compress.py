@@ -92,6 +92,82 @@ class PackedBFPLinear(DmxModule):
             self.block_size,
         )
 
+    # ---- fused fake-quant path: ONE kernel for cast + matmul + fp16 out ----
+
+    def _fusable(self, x) -> bool:
+        """Static check: the whole BASIC pipeline of this module folds into
+        the fused kernel (ops/basic_linear.py).  Falls back to the modular
+        path whenever any stateful subsystem is active."""
+        from ..numerics.format import BlockFloatingPoint as BFP
+        from ..numerics.format import FloatingPoint
+        from ..utils.tracing import eager as _eager
+
+        if x.ndim < 1 or x.shape[-1] != self.in_features:
+            return False
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if rows > 256:  # decode/small-batch regime only; prefill amortizes
+            return False
+        ic = self.input_casts["input_cast"]
+        oc = self.output_casts[self.output_cast_names[0]]
+        in_ok = (
+            isinstance(ic.format, BFP)
+            and ic.format.symmetric
+            and ic.format.rounding == "nearest"
+            and ic.format.block_size > 1
+            and ic.block_dim in (-1, x.ndim - 1)
+            and self.in_features % ic.format.block_size == 0
+            and 2048 % ic.format.block_size == 0  # K-tile stays block-aligned
+            and 2048 // ic.format.block_size <= 128  # exponent slot capacity
+            and ic.fake_quant_enabled
+            and not ic.observer_enabled
+            and not ic.pre_transform
+        )
+        out_ok = (
+            isinstance(oc.format, Same)
+            or (
+                isinstance(oc.format, FloatingPoint)
+                and repr(oc.format) == "FP[1|5|10,15](FN)"
+            )
+        ) and oc.fake_quant_enabled and not oc.observer_enabled and not oc.pre_transform
+        quiet = (
+            not DmxModule.plugins
+            and self.obc is None
+            and self.aft is None
+            and not (self.flop_counter_enabled and _eager())
+            and (
+                self.smoothquant is None
+                or not (self.smoothquant.dynamic or self.smoothquant.calibrating)
+            )
+        )
+        return in_ok and out_ok and quiet
+
+    def __call__(self, input, *args, **kwargs):
+        if not self._fusable(input):
+            return super().__call__(input, *args, **kwargs)
+        from ..numerics.format import FloatingPoint
+        from .basic_linear import fused_basic_linear
+
+        _dtype = jnp.asarray(input).dtype
+        x = input
+        if self.smoothquant is not None:
+            x = self.smoothquant.scale_input(x)
+        ic = self.input_casts["input_cast"]
+        oc = self.output_casts[self.output_cast_names[0]]
+        out = fused_basic_linear(
+            x.astype(jnp.float32),
+            w_bf16=self.weight_bf16.value if self.weight_bf16 is not None else None,
+            packed=None if self.weight_bf16 is not None else self.packed,
+            bias=self.bias.value if self.bias is not None else None,
+            in_wl=ic.format.precision,
+            in_block=ic.format.block_size,
+            out_fp16=isinstance(oc.format, FloatingPoint),
+        )
+        if self.align_boundary_dtype:
+            out = out.astype(_dtype)
+        return out
+
     def _forward(self, _input):
         rows = 1
         for d in _input.shape[:-1]:
@@ -148,6 +224,60 @@ class PackedBFPLinear(DmxModule):
         return cls(packed, bias, lin)
 
 
+def merge_parallel_linears(mods):
+    """Concatenate sibling PackedBFPLinears that consume the SAME input into
+    one module (e.g. q/k/v projections): one fused kernel + one shared input
+    cast instead of three.  Bit-exact: the matmul is row-independent and the
+    FLOAT16 output cast is elementwise, so concatenating along the output
+    dim changes nothing numerically.  Returns None unless every module has
+    identical static cast config and inactive stateful subsystems."""
+    if not mods or not all(isinstance(m, PackedBFPLinear) for m in mods):
+        return None
+
+    def sig(m):
+        ic = m.input_casts["input_cast"]
+        oc = m.output_casts[m.output_cast_names[0]]
+        return (
+            m.in_features,
+            repr(ic.format), ic.block_dim, ic.fake_quant_enabled,
+            ic.observer_enabled, bool(ic.pre_transform),
+            repr(oc.format), oc.fake_quant_enabled, oc.observer_enabled,
+            bool(oc.pre_transform),
+            m.precision, m.block_size,
+            m.weight_bf16 is not None, m.bias is not None,
+        )
+
+    if len({sig(m) for m in mods}) != 1:
+        return None
+    for m in mods:
+        if m.smoothquant is not None and (
+            m.smoothquant.dynamic or m.smoothquant.input_maxabs_exists
+        ):
+            return None
+    packed = PackedBFP(
+        jnp.concatenate([m.weight_mantissa.value for m in mods], axis=0),
+        jnp.concatenate([m.weight_exponent.value for m in mods], axis=0),
+        mods[0].precision,
+        mods[0].block_size,
+    )
+    bias = (
+        jnp.concatenate([m.bias.value for m in mods])
+        if mods[0].bias is not None
+        else None
+    )
+    # construct through the normal path (nnx object machinery), then fix the
+    # merged dimensions; __init__ inherits mods[0]'s live casts, which is
+    # exactly the sharing we want (identical configs checked above)
+    merged = PackedBFPLinear(packed, bias, src=mods[0])
+    merged.out_features = sum(m.out_features for m in mods)
+    merged.weight_bf16 = (
+        nnx.Variable(jnp.concatenate([m.weight_bf16.value for m in mods], axis=0))
+        if mods[0].weight_bf16 is not None
+        else None
+    )
+    return merged
+
+
 from contextlib import contextmanager
 
 
@@ -197,4 +327,22 @@ def compress_for_inference(dm) -> int:
                 walk(value)
 
     walk(model)
+
+    # second pass: let composite modules (attention blocks) fuse their
+    # now-packed children (e.g. q/k/v -> one merged projection)
+    seen2 = set()
+
+    def walk_fuse(container):
+        if id(container) in seen2:
+            return
+        seen2.add(id(container))
+        if hasattr(container, "fuse_for_inference"):
+            container.fuse_for_inference()
+        for key, value in _items(container):
+            if isinstance(key, str) and key.startswith("_"):
+                continue
+            if _is_module_container(value) and not isinstance(value, nnx.Variable):
+                walk_fuse(value)
+
+    walk_fuse(model)
     return count

@@ -154,6 +154,10 @@ def module_compiler_graph(mod) -> DmxGraph:
     """Build the per-module Q/DQ graph from its cast topology (generic
     analogue of each reference module's to_compiler_graph)."""
     if mod.is_compound:
+        from ..nn import modules as dmxnn
+
+        if isinstance(mod, dmxnn.ScaledDotProductAttention):
+            return _sdpa_compiler_graph(mod)
         raise NotImplementedError(
             f"{type(mod).__name__} is a compound module and does not support "
             "to_compiler_graph"
@@ -189,6 +193,120 @@ def module_compiler_graph(mod) -> DmxGraph:
     return g
 
 
+def _sdpa_compiler_graph(sdpa) -> DmxGraph:
+    """Inline the compound SDPA's decomposed sub-module pipeline into one
+    flat Q/DQ graph (the reference retraces itself for the same inlining,
+    torch_modules.py:170-183; its own ``to_compiler_graph`` raises — this
+    build goes further and emits the real decomposition).
+
+    Emits the float-mask inference path of ``ScaledDotProductAttention``:
+    q/k/v/mask casts -> actmatmul(q, k^T) -> resadd(zeros, mask) ->
+    resadd(scores, bias) -> mul(scale) -> softmax -> dropout(identity) ->
+    actmatmul(weights, v), every edge wrapped in its owning cast's Q/DQ.
+    """
+    g = DmxGraph()
+
+    def fmt(cast_path: str) -> str:
+        return repr(_resolve_cast(sdpa, cast_path).format)
+
+    def wrap(node: Node, cast_path: str) -> Node:
+        return g.qdq(node, cast_path, fmt(cast_path))
+
+    q = g.placeholder("query", "input_casts.query_states_cast",
+                      fmt("input_casts.query_states_cast"))
+    k = g.placeholder("key", "input_casts.key_states_cast",
+                      fmt("input_casts.key_states_cast"))
+    v = g.placeholder("value", "input_casts.value_states_cast",
+                      fmt("input_casts.value_states_cast"))
+    m = g.placeholder("attn_mask", "input_casts.attn_mask_cast",
+                      fmt("input_casts.attn_mask_cast"))
+    scale = g.placeholder("scale")
+
+    def _swap_kt(key_states):
+        return jnp.swapaxes(key_states, -2, -1)
+
+    def _zeros_bias(query, mask):
+        return jnp.zeros((query.shape[-2], mask.shape[-1]), query.dtype)
+
+    def _add(a, b):
+        return a + b
+
+    def _mul(a, b):
+        return a * b
+
+    def _identity(x):
+        return x
+
+    kt = g.call_function(_swap_kt, (k,), name="key_transpose")
+    s = g.call_function(
+        jnp.matmul,
+        (
+            wrap(q, "actmatmul.input_casts.input_cast"),
+            wrap(kt, "actmatmul.input_casts.multiplier_cast"),
+        ),
+        name="qk_matmul",
+        cast_name="actmatmul.output_casts.output_cast",
+        cast_format=fmt("actmatmul.output_casts.output_cast"),
+    )
+    zb = g.call_function(_zeros_bias, (q, m), name="attn_bias_zeros")
+    bias = g.call_function(
+        _add,
+        (
+            wrap(zb, "resadd.input_casts.input_cast"),
+            wrap(m, "resadd.input_casts.residual_cast"),
+        ),
+        name="mask_resadd",
+        cast_name="resadd.output_casts.output_cast",
+        cast_format=fmt("resadd.output_casts.output_cast"),
+    )
+    s = g.call_function(
+        _add,
+        (
+            wrap(s, "resadd.input_casts.input_cast"),
+            wrap(bias, "resadd.input_casts.residual_cast"),
+        ),
+        name="bias_resadd",
+        cast_name="resadd.output_casts.output_cast",
+        cast_format=fmt("resadd.output_casts.output_cast"),
+    )
+    s = g.call_function(
+        _mul,
+        (
+            wrap(s, "mul.input_casts.input_cast"),
+            wrap(scale, "mul.input_casts.multiplier_cast"),
+        ),
+        name="scale_mul",
+        cast_name="mul.output_casts.output_cast",
+        cast_format=fmt("mul.output_casts.output_cast"),
+    )
+    s = g.call_function(
+        _functional_target(sdpa.softmax),
+        (wrap(s, "softmax.input_casts.input_cast"),),
+        name="softmax",
+        cast_name="softmax.output_casts.output_cast",
+        cast_format=fmt("softmax.output_casts.output_cast"),
+    )
+    s = g.call_function(
+        _identity,
+        (wrap(s, "dropout.input_casts.input_cast"),),
+        name="dropout",
+        cast_name="dropout.output_casts.output_cast",
+        cast_format=fmt("dropout.output_casts.output_cast"),
+    )
+    out = g.call_function(
+        jnp.matmul,
+        (
+            wrap(s, "actmatmul.input_casts.input_cast"),
+            wrap(v, "actmatmul.input_casts.multiplier_cast"),
+        ),
+        name="wv_matmul",
+        cast_name="actmatmul.output_casts.output_cast",
+        cast_format=fmt("actmatmul.output_casts.output_cast"),
+    )
+    g.output(out)
+    return g
+
+
 def _functional_target(mod) -> Callable:
     """The pure functional op a module's graph node computes."""
     from ..nn import modules as dmxnn
@@ -200,9 +318,15 @@ def _functional_target(mod) -> Callable:
 
         return linear
     if isinstance(mod, dmxnn.ResAdd):
-        return lambda a, b: a + b
+        def res_add(a, b):
+            return a + b
+
+        return res_add
     if isinstance(mod, dmxnn.Mul):
-        return lambda a, b: a * b
+        def elem_mul(a, b):
+            return a * b
+
+        return elem_mul
     if isinstance(mod, dmxnn.ActActMatMul):
         return jnp.matmul
     if isinstance(mod, (dmxnn.Conv1d, dmxnn.Conv2d, dmxnn.ConvTranspose2d)):
@@ -214,19 +338,30 @@ def _functional_target(mod) -> Callable:
 
         return conv
     if isinstance(mod, dmxnn.Softmax):
-        return lambda x: jax.nn.softmax(x, axis=mod.dim)
+        def softmax(x):
+            return jax.nn.softmax(x, axis=mod.dim)
+
+        return softmax
     if isinstance(mod, dmxnn.LayerNorm):
-        def ln(x, w=None, b=None):
+        def layer_norm(x, w=None, b=None):
             return mod.functional_forward(x, mod.normalized_shape, w, b, mod.eps)
 
-        return ln
+        return layer_norm
     if isinstance(mod, dmxnn.RMSNorm):
-        def rn(x, w=None):
+        def rms_norm(x, w=None):
             return mod.functional_forward(x, mod.normalized_shape, w, mod.eps)
 
-        return rn
+        return rms_norm
     if isinstance(mod, dmxnn.Embedding):
-        return lambda ids, w: jnp.take(w, ids, axis=0)
+        def embed_lookup(ids, w):
+            return jnp.take(w, ids, axis=0)
+
+        return embed_lookup
+    if isinstance(mod, dmxnn.Dropout):
+        def dropout_identity(x):
+            return x
+
+        return dropout_identity
 
     # fallback: the module's raw op
     if getattr(mod, "_raw_forward", None) is not None:
@@ -234,19 +369,37 @@ def _functional_target(mod) -> Callable:
     raise NotImplementedError(f"no functional target for {type(mod).__name__}")
 
 
-def make_compiler_graph(model) -> Dict[str, DmxGraph]:
-    """Q/DQ graphs for every non-compound DmxModule
-    (analogue of qDq_transform / make_compiler_graph, transform.py:181-201)."""
+class CompilerGraphs(dict):
+    """``{module_name: DmxGraph}`` plus the modules that could NOT be
+    exported (``.skipped: {name: reason}``) — export coverage is never
+    silently partial."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.skipped: Dict[str, str] = {}
+
+
+def make_compiler_graph(model, strict: bool = False) -> CompilerGraphs:
+    """Q/DQ graphs for every DmxModule, compound SDPA included
+    (analogue of qDq_transform / make_compiler_graph, transform.py:181-201).
+
+    Modules without a graph emitter are recorded in ``result.skipped`` and
+    logged (``strict=True`` raises instead) — unlike the reference, which
+    silently drops them."""
+    import logging
+
     from .substitute import named_dmx_modules
 
-    graphs = {}
+    log = logging.getLogger(__name__)
+    graphs = CompilerGraphs()
     for name, mod in named_dmx_modules(model):
-        if mod.is_compound:
-            continue
         try:
             graphs[name] = module_compiler_graph(mod)
-        except NotImplementedError:
-            continue
+        except NotImplementedError as e:
+            if strict:
+                raise
+            graphs.skipped[name] = str(e)
+            log.warning("compiler graph skipped for %s: %s", name, e)
     return graphs
 
 

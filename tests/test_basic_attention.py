@@ -1,0 +1,197 @@
+"""Fused BASIC decode attention (ops/basic_attention.py) vs the modular
+compound-SDPA pipeline it replaces (nn/modules.py ScaledDotProductAttention
+under the BASIC rule set, inference mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import dmx_compressor_tpu as dc
+from dmx_compressor_tpu.nn import modules as dmxnn
+from dmx_compressor_tpu.ops.basic_attention import (
+    BasicSDPAParams,
+    basic_sdpa_decode,
+    basic_sdpa_shape,
+)
+from dmx_compressor_tpu.ops.compress import set_inference_mode
+
+BFP16_64 = "BFP[8|8]{64}(SN)"
+FLOAT16 = "FP[1|5|10,15](FN)"
+SOFTMAX = "SOFTMAX[vsimd]{input_clamp=-100}(max_adjust=0.1141)"
+
+
+def make_basic_sdpa():
+    sdpa = dmxnn.ScaledDotProductAttention()
+    for rule in dc.config_rules.BASIC:
+        for m in (sdpa.actmatmul, sdpa.resadd, sdpa.softmax, sdpa.mul, sdpa.dropout):
+            if isinstance(m, rule.module_types):
+                rule.apply_to_module(m) if hasattr(rule, "apply_to_module") else None
+    # apply directly (the rule API goes through DmxModel; configure by hand)
+    sdpa.actmatmul.configure(
+        dict(input_formats=[BFP16_64, BFP16_64], output_formats=[FLOAT16])
+    )
+    sdpa.resadd.configure(
+        dict(input_formats=[FLOAT16, FLOAT16], output_formats=[FLOAT16])
+    )
+    sdpa.softmax.configure(
+        dict(
+            input_formats=[FLOAT16],
+            output_formats=[FLOAT16],
+            approximation_function=SOFTMAX,
+        )
+    )
+    return sdpa
+
+
+@pytest.fixture(autouse=True)
+def _inference_mode():
+    set_inference_mode(True)
+    yield
+    set_inference_mode(False)
+
+
+def _qkvm(key, B=2, H=2, S=128, D=64, T=1):
+    ks = jax.random.split(jax.random.key(key), 4)
+    q = jax.random.normal(ks[0], (B, H, T, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, S, D), jnp.float32)
+    # causal-style additive mask row: last 16 positions excluded
+    mask = jnp.where(jnp.arange(S) < S - 16, 0.0, -1e4).astype(jnp.float32)[None, :]
+    return q, k, v, mask
+
+
+class TestShapeDetection:
+    def test_basic_shape_detected(self):
+        sdpa = make_basic_sdpa()
+        p = basic_sdpa_shape(sdpa, head_dim=64, seq_len=128)
+        assert p == BasicSDPAParams(
+            wl=8, block=64, input_clamp=-100.0, max_adjust=0.1141,
+            kmax=15, use_exp_large=True,
+        )
+
+    def test_transparent_sdpa_not_matched(self):
+        sdpa = dmxnn.ScaledDotProductAttention()  # all SAME
+        assert basic_sdpa_shape(sdpa, 64, 128) is None
+
+    def test_head_dim_mismatch_not_matched(self):
+        sdpa = make_basic_sdpa()
+        assert basic_sdpa_shape(sdpa, 16, 128) is None
+
+    def test_unaligned_seq_not_matched(self):
+        sdpa = make_basic_sdpa()
+        assert basic_sdpa_shape(sdpa, 64, 130) is None
+
+    def test_observer_blocks_fusion(self):
+        sdpa = make_basic_sdpa()
+        sdpa.actmatmul.input_casts["input_cast"].enable_observer()
+        assert basic_sdpa_shape(sdpa, 64, 128) is None
+
+    def test_training_mode_blocks_fusion(self):
+        sdpa = make_basic_sdpa()
+        set_inference_mode(False)
+        assert basic_sdpa_shape(sdpa, 64, 128) is None
+
+
+class TestDecodeParity:
+    @pytest.mark.parametrize("seed", [0, 1])
+    @pytest.mark.parametrize("S", [64, 192])
+    def test_fused_matches_modular(self, seed, S):
+        sdpa = make_basic_sdpa()
+        q, k, v, mask = _qkvm(seed, S=S)
+        scale = 64.0**-0.5
+        ref = sdpa(q, k, v, attn_mask=mask, scale=scale)
+        p = basic_sdpa_shape(sdpa, 64, S)
+        assert p is not None
+        out = basic_sdpa_decode(q, k, v, mask, scale=scale, params=p,
+                                interpret=True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-5
+        )
+
+    def test_zero_rows_pass_through(self):
+        # future cache slots are zeros: their K rows hit the sentinel path
+        sdpa = make_basic_sdpa()
+        q, k, v, mask = _qkvm(3, S=128)
+        k = k.at[:, :, 64:].set(0.0)
+        v = v.at[:, :, 64:].set(0.0)
+        mask = jnp.where(jnp.arange(128) < 64, 0.0, -1e4)[None, :].astype(jnp.float32)
+        scale = 0.125
+        ref = sdpa(q, k, v, attn_mask=mask, scale=scale)
+        p = basic_sdpa_shape(sdpa, 64, 128)
+        out = basic_sdpa_decode(q, k, v, mask, scale=scale, params=p,
+                                interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-5
+        )
+
+
+class TestOPTIntegration:
+    def _cfg(self):
+        from dmx_compressor_tpu.models.opt import OPTConfig
+
+        return OPTConfig(vocab_size=256, hidden_size=128, ffn_dim=256,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         max_position_embeddings=128)
+
+    def test_basic_decode_uses_fused_and_matches(self, monkeypatch):
+        from dmx_compressor_tpu.modeling.model import DmxModel
+        from dmx_compressor_tpu.models.opt import OPTForCausalLM
+        from dmx_compressor_tpu.ops.compress import compress_for_inference
+        import dmx_compressor_tpu.models.opt as opt_mod
+        import dmx_compressor_tpu.ops.basic_attention as ba
+
+        cfg = self._cfg()
+        model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+        dm = DmxModel.from_raw(model)
+        dm.to_basic_mode()
+        compress_for_inference(dm)
+
+        B, P = 2, 63
+        ids = jax.random.randint(jax.random.key(9), (B, P), 0, cfg.vocab_size)
+        caches = model.init_cache(B, 64)
+        model(ids, caches=caches, position_offset=0)
+        tok = jnp.zeros((B, 1), jnp.int32)
+
+        calls = {"n": 0}
+        orig = ba.basic_sdpa_decode
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(ba, "basic_sdpa_decode", counting)
+        fused = model(tok, caches=caches, position_offset=P)
+        assert calls["n"] == cfg.num_hidden_layers  # fused path engaged
+
+        # force the modular path on identical cache state
+        caches2 = model.init_cache(B, 64)
+        model(ids, caches=caches2, position_offset=0)
+        monkeypatch.setattr(ba, "basic_sdpa_shape", lambda *a, **kw: None)
+        modular = model(tok, caches=caches2, position_offset=P)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(modular), rtol=2e-3, atol=2e-4
+        )
+
+    def test_qkv_merged_and_exact(self):
+        from dmx_compressor_tpu.modeling.model import DmxModel
+        from dmx_compressor_tpu.models.opt import OPTForCausalLM
+        from dmx_compressor_tpu.ops.compress import compress_for_inference
+
+        cfg = self._cfg()
+        model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+        dm = DmxModel.from_raw(model)
+        dm.to_basic_mode()
+        compress_for_inference(dm)
+        attn = model.model.decoder.layers[0].self_attn
+        assert getattr(attn, "qkv_merged", None) is not None
+
+        x = jax.random.normal(jax.random.key(4), (2, 1, 128), jnp.float32)
+        merged = attn._project_qkv(x)
+        qm = attn.q_proj(x)
+        km = attn.k_proj(x)
+        vm = attn.v_proj(x)
+        for got, want in zip(merged, (qm, km, vm)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -1,0 +1,190 @@
+"""Fused BASIC-linear kernel (ops/basic_linear.py): bit-parity vs the
+modular CastTo + matmul + CastTo pipeline it replaces.
+
+Runs in Pallas interpret mode on the CPU test mesh; the same code paths
+compile with Mosaic on TPU (probed separately by bench runs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from dmx_compressor_tpu.numerics.cast import CastTo
+from dmx_compressor_tpu.numerics.format import Format
+from dmx_compressor_tpu.numerics.rounding import block_quantize_lastdim
+from dmx_compressor_tpu.ops.basic_linear import (
+    _bfp_cast_with_exponents,
+    _fp16_cast_f32,
+    block_exponents,
+    fused_basic_linear,
+)
+from dmx_compressor_tpu.ops.bfp_pack import bfp_pack, bfp_unpack
+
+BFP16_64 = "BFP[8|8]{64}(SN)"
+FLOAT16 = "FP[1|5|10,15](FN)"
+
+
+def _rand(key, shape, scale=1.0):
+    return jax.random.normal(jax.random.key(key), shape, jnp.float32) * scale
+
+
+class TestFp16Emulation:
+    def test_bit_exact_vs_fast_path(self):
+        fmt = Format.from_shorthand(FLOAT16)
+        x = jnp.concatenate([
+            _rand(0, (4096,), 3.0),
+            _rand(1, (1024,), 1e-6),  # below smallest normal -> flushed
+            _rand(2, (1024,), 6e4),  # near the saturation point
+            _rand(3, (1024,), 7e-5),  # straddles the subnormal boundary
+            jnp.array([0.0, -0.0, 65504.0, -65504.0, 65505.0, 1e9, -1e9,
+                       6.103515625e-05, 6.1e-05, 2.0**-24, -(2.0**-24)]),
+        ])
+        ref = fmt.cast(x)
+        out = _fp16_cast_f32(x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_grid_membership(self):
+        y = _fp16_cast_f32(_rand(7, (512,), 10.0))
+        # every output must round-trip through fp16 unchanged
+        np.testing.assert_array_equal(
+            np.asarray(y), np.asarray(y.astype(jnp.float16).astype(jnp.float32))
+        )
+
+
+class TestBfpCastWithExponents:
+    @pytest.mark.parametrize("scale", [1.0, 1e-4, 1e4])
+    def test_bit_exact_vs_lastdim(self, scale):
+        x = _rand(11, (8, 256), scale)
+        e = block_exponents(x, 64).astype(jnp.float32)
+        e_full = jnp.repeat(e, 64, axis=-1)
+        out = _bfp_cast_with_exponents(x, e_full, 8)
+        ref = block_quantize_lastdim(x, 8, 64)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_zero_blocks_pass_through(self):
+        x = jnp.zeros((4, 128), jnp.float32)
+        x = x.at[0, 70].set(1.5)  # only block 1 of row 0 is non-zero
+        e = block_exponents(x, 64).astype(jnp.float32)
+        assert int(e[0, 0]) == -128 and int(e[0, 1]) == 0
+        out = _bfp_cast_with_exponents(x, jnp.repeat(e, 64, axis=-1), 8)
+        ref = block_quantize_lastdim(x, 8, 64)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestFusedKernel:
+    def test_input_cast_exact_via_identity_weights(self):
+        # identity weights make the matmul exact (one product per output):
+        # kernel output == input cast, bit-for-bit
+        K = 256
+        x = _rand(3, (8, K), 2.0)
+        w = jnp.eye(K, dtype=jnp.float32)
+        out = fused_basic_linear(
+            x, w_bf16=w.astype(jnp.bfloat16), in_wl=8, in_block=64,
+            out_fp16=False, interpret=True,
+        )
+        ref = block_quantize_lastdim(x, 8, 64)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    @pytest.mark.parametrize("packed", [False, True])
+    @pytest.mark.parametrize("bias", [False, True])
+    def test_matches_modular_pipeline(self, packed, bias):
+        M, K, N = 8, 192, 320
+        x = _rand(5, (M, K))
+        w = _rand(6, (N, K), 0.3)
+        b = _rand(7, (N,), 0.1) if bias else None
+
+        in_cast = CastTo(format=BFP16_64, block_dim=-1)
+        out_cast = CastTo(format=FLOAT16)
+        pk = bfp_pack(w, 8, 64)
+        wq = bfp_unpack(pk)
+        # modular reference: cast -> bf16 matmul -> bias -> fp16 cast
+        xq = in_cast(x)
+        ref = jnp.matmul(
+            xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        if bias:
+            ref = ref + b
+        ref = out_cast(ref)
+
+        out = fused_basic_linear(
+            x,
+            w_bf16=None if packed else wq.astype(jnp.bfloat16),
+            packed=pk if packed else None,
+            bias=b,
+            in_wl=8,
+            in_block=64,
+            out_fp16=True,
+            interpret=True,
+        )
+        # operands are bit-identical; only K-tile accumulation order differs
+        # (single K tile here -> identical), so outputs match exactly
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_multi_k_tile_tolerance(self):
+        M, K, N = 8, 4096, 128  # two K tiles of 2048
+        x = _rand(8, (M, K))
+        w = _rand(9, (N, K), 0.1)
+        pk = bfp_pack(w, 8, 64)
+        wq = bfp_unpack(pk)
+        in_cast = CastTo(format=BFP16_64, block_dim=-1)
+        xq = in_cast(x)
+        ref = jnp.matmul(
+            xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        out = fused_basic_linear(
+            x, packed=pk, in_wl=8, in_block=64, out_fp16=False, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-5
+        )
+
+    def test_leading_dims(self):
+        x = _rand(10, (2, 4, 128))
+        w = _rand(11, (64, 128), 0.5)
+        pk = bfp_pack(w, 8, 64)
+        out = fused_basic_linear(
+            x, packed=pk, in_wl=8, in_block=64, out_fp16=True, interpret=True
+        )
+        assert out.shape == (2, 4, 64)
+
+
+class TestPackedBFPLinearFusedPath:
+    def _make(self, K=128, N=96, bias=True):
+        from dmx_compressor_tpu.nn import modules as dmxnn
+        from dmx_compressor_tpu.ops.compress import PackedBFPLinear
+
+        lin = dmxnn.Linear(K, N, bias=bias, rngs=nnx.Rngs(0))
+        lin.input_casts.set_format([BFP16_64])
+        lin.weight_cast.set_format(BFP16_64)
+        lin.output_casts.set_format([FLOAT16])
+        lin.bias_cast.set_format("BFP[24|8]{1}(SN)")
+        return lin, PackedBFPLinear.from_linear(lin)
+
+    def test_fused_matches_modular_packed_forward(self):
+        lin, plin = self._make()
+        x = _rand(21, (8, 128))
+        assert plin._fusable(x)
+        fused = plin(x)
+        # disable fusion -> the modular DmxModule pipeline on the same module
+        plin.input_casts["input_cast"].pre_transform = {"__nofuse__": None}
+        assert not plin._fusable(x)
+        del plin.input_casts["input_cast"].pre_transform["__nofuse__"]
+        modular = super(type(plin), plin).__call__(x)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(modular), rtol=1e-6, atol=2e-6
+        )
+
+    def test_fallback_when_observing(self):
+        lin, plin = self._make()
+        x = _rand(22, (8, 128))
+        plin.input_casts["input_cast"].enable_observer()
+        assert not plin._fusable(x)
+
+    def test_fallback_on_large_batch(self):
+        lin, plin = self._make()
+        x = _rand(23, (512, 128))
+        assert not plin._fusable(x)
