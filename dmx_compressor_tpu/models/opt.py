@@ -114,8 +114,18 @@ class OPTAttention(nnx.Module):
 
     def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None,
                  position_offset=0):
-        B, T, D = x.shape
         _q, _k, _v = self._project_qkv(x)
+        out = self.attend(_q, _k, _v, attn_mask=attn_mask, cache=cache,
+                          position_offset=position_offset)
+        return self.out_proj(out)
+
+    def attend(self, _q, _k, _v, attn_mask=None, cache: Optional[KVCache] = None,
+               position_offset=0):
+        """Head-split attention over projected q/k/v [B, T, D]; returns the
+        merged-head context [B, T, D] (pre-out_proj).  Split out of
+        ``__call__`` so the fused BASIC layer step (ops/basic_layer.py) can
+        feed projections from its own mega-kernels."""
+        B, T, D = _q.shape
         q, k, v = self._split(_q), self._split(_k), self._split(_v)
         quant = cache is not None and getattr(cache, "quantized", False)
         # Prefill at offset 0: append to the cache but attend over the fresh
@@ -158,8 +168,7 @@ class OPTAttention(nnx.Module):
                     )
             if out is None:
                 out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
-        return self.out_proj(out)
+        return out.transpose(0, 2, 1, 3).reshape(B, T, D)
 
 
 class OPTDecoderLayer(nnx.Module):
@@ -177,6 +186,19 @@ class OPTDecoderLayer(nnx.Module):
 
     def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None,
                  position_offset=0):
+        if (
+            x.shape[1] == 1
+            and cache is not None
+            and attn_mask is not None
+            and jnp.issubdtype(jnp.asarray(attn_mask).dtype, jnp.floating)
+        ):
+            from ..ops.basic_layer import basic_layer_plan
+
+            plan = basic_layer_plan(self)
+            if plan is not None:
+                return self._fused_basic_step(
+                    x, attn_mask, cache, position_offset, plan
+                )
         residual = x
         if self.do_layer_norm_before:
             x = self.self_attn_layer_norm(x)
@@ -194,6 +216,62 @@ class OPTDecoderLayer(nnx.Module):
             x = self.final_layer_norm(x)
         return x
 
+    def _fused_basic_step(self, x, attn_mask, cache, position_offset, plan):
+        """BASIC decode step via the layer mega-kernels (ops/basic_layer.py):
+        LN1+qkv / fused SDPA / out_proj / resadd1+LN2+fc1+ReLU / fc2+resadd2
+        — numerics-identical to the modular module pipeline (bounded only by
+        f32 reduction order in the LN moments)."""
+        from ..ops.basic_layer import fused_ln_linear
+        from ..ops.basic_linear import fused_basic_linear
+
+        def w_kw(m):
+            if m.weight_bf16 is not None:
+                return {"w_bf16": m.weight_bf16.value}
+            return {"packed": m.packed}
+
+        attn = self.self_attn
+        merged = attn.qkv_merged
+        qkv = fused_ln_linear(
+            x,
+            **w_kw(merged),
+            bias=merged.bias.value,
+            ln_w=self.self_attn_layer_norm._weight,
+            ln_b=self.self_attn_layer_norm._bias,
+            eps=plan.ln1_eps,
+            wl=plan.wl,
+            in_block=plan.block,
+        )
+        d = attn.num_heads * attn.head_dim
+        ctx = attn.attend(
+            qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :],
+            attn_mask=attn_mask, cache=cache, position_offset=position_offset,
+        )
+        y = attn.out_proj(ctx)  # PackedBFPLinear: one fused kernel
+        h, r = fused_ln_linear(
+            y,
+            **w_kw(self.fc1),
+            bias=self.fc1.bias.value,
+            ln_w=self.final_layer_norm._weight,
+            ln_b=self.final_layer_norm._bias,
+            eps=plan.ln2_eps,
+            wl=plan.wl,
+            in_block=plan.block,
+            residual=x,
+            relu=True,
+            emit_pre=True,
+        )
+        fc2 = self.fc2
+        return fused_basic_linear(
+            h,
+            w_bf16=fc2.weight_bf16.value if fc2.weight_bf16 is not None else None,
+            packed=None if fc2.weight_bf16 is not None else fc2.packed,
+            bias=fc2.bias.value,
+            in_wl=plan.wl,
+            in_block=plan.block,
+            out_fp16=True,
+            res_out=r,
+        )
+
 
 class OPTDecoder(nnx.Module):
     def __init__(self, cfg: OPTConfig, *, rngs: nnx.Rngs):
@@ -210,7 +288,8 @@ class OPTDecoder(nnx.Module):
             nnx.LayerNorm(cfg.hidden_size, rngs=rngs) if cfg.do_layer_norm_before else None
         )
 
-    def __call__(self, input_ids, caches=None, position_offset=0):
+    def __call__(self, input_ids, caches=None, position_offset=0,
+                 apply_final_ln=True):
         B, T = input_ids.shape
         x = self.embed_tokens(input_ids)
         positions = jnp.arange(T) + position_offset + 2
@@ -231,7 +310,7 @@ class OPTDecoder(nnx.Module):
             x = layer(x, attn_mask=mask,
                       cache=None if caches is None else caches[i],
                       position_offset=position_offset)
-        if self.final_layer_norm is not None:
+        if apply_final_ln and self.final_layer_norm is not None:
             x = self.final_layer_norm(x)
         return x
 
@@ -258,6 +337,30 @@ class OPTForCausalLM(nnx.Module):
         return self.cfg
 
     def __call__(self, input_ids, caches=None, position_offset=0):
+        if input_ids.shape[1] == 1 and caches is not None:
+            from ..ops.basic_layer import basic_head_plan, fused_ln_linear
+
+            final_ln = self.model.decoder.final_layer_norm
+            plan = basic_head_plan(final_ln, self.lm_head)
+            if plan is not None:
+                h = self.model.decoder(
+                    input_ids, caches=caches,
+                    position_offset=position_offset, apply_final_ln=False,
+                )
+                head = self.lm_head
+                return fused_ln_linear(
+                    h,
+                    w_bf16=head.weight_bf16.value
+                    if head.weight_bf16 is not None else None,
+                    packed=None if head.weight_bf16 is not None else head.packed,
+                    bias=head.bias.value if head.bias is not None
+                    else jnp.zeros((head.out_features,), jnp.float32),
+                    ln_w=final_ln._weight,
+                    ln_b=final_ln._bias,
+                    eps=plan.ln_eps,
+                    wl=plan.wl,
+                    in_block=plan.block,
+                )
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 

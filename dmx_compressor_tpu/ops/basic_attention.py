@@ -1,33 +1,28 @@
-"""Fused BASIC-mode decode attention: the compound SDPA pipeline in 2 kernels.
+"""Fused BASIC-mode decode attention: the compound SDPA pipeline, inlined.
 
-The compound ScaledDotProductAttention (nn/modules.py:937, mirroring
-reference torch_modules.py:108-191) decomposes into actmatmul -> resadd ->
-mul -> softmax -> dropout -> actmatmul, each sub-op carrying its own BASIC
-casts.  At decode that is ~12-14 kernel chains per layer, re-casting the
-whole K/V cache every step — the dominant cost of full fake-quant decoding
-(the fp32 baseline pays none of it).  This module collapses the T=1 path to
-two Pallas kernels per layer, gridded over (batch x heads):
+The compound ScaledDotProductAttention (nn/modules.py, mirroring reference
+torch_modules.py:108-191) decomposes into actmatmul -> resadd -> mul ->
+softmax -> dropout -> actmatmul, each sub-op carrying its own BASIC casts.
+At decode the modular pipeline is ~12-14 kernel chains per layer,
+re-casting the whole K/V cache every step — the dominant cost of full
+fake-quant decoding (the fp32 baseline pays none of it).
 
-  kernel A  q-cast + K-cast (blocks along head_dim) + QK matmul
-            + FLOAT16 chain (matmul out, +mask resadd, *scale)
-            + the SOFTMAX[vsimd] surrogate (input_clamp, max_adjust,
-              poly2 exp, Newton-refined reciprocal)  -> scores [B, H, S]
-  (host)    per-64-block shared exponents of the scores along S
-            (Mosaic cannot lane-split in-kernel; a tiny XLA fusion)
-  kernel B  score BFP cast (exponents expanded via the proven 0/1 matmul)
-            + V-cast (blocks along S, sublane-split) + WV matmul
-            + FLOAT16 output cast                    -> out [B, H, D]
+This module provides the T=1 path as ONE tight inline jnp chain.  Decode
+attention is a vector-matrix product per head, so a hand-written kernel
+has nothing to win over XLA's own fusion on a dispatch-bound chip: the
+round-2 Pallas versions measured 172us (merged VPU kernel) and ~290us
+(two-kernel split) per call at OPT-125m decode shapes, the modular module
+pipeline ~250us, and this inline form 7us (tools/diag_marginal.py).
 
-Numerics: every step replicates the modular pipeline's ops in f32 vector
-registers — BFP casts are the reference rebase-add (rounding.py), FLOAT16
-boundaries use the f32 emulation of the fp16 fast path, matmuls run
-bf16 x bf16 -> f32 which is lossless for BFP16-cast operands.  Parity is
-asserted against the live compound module in tests/test_basic_attention.py.
+Numerics: every step replicates the modular pipeline's ops in f32 — BFP
+casts are the reference rebase-add (rounding.py), FLOAT16 boundaries use
+the f32 emulation of the fp16 fast path, matmuls run bf16 x bf16 -> f32
+which is lossless for BFP16-cast operands.  Parity is asserted against the
+live compound module in tests/test_basic_attention.py.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -36,9 +31,8 @@ import jax.numpy as jnp
 from ..numerics import rounding as R
 from .basic_linear import (
     _bfp_cast_with_exponents,
-    _expand01,
     _fp16_cast_f32,
-    block_exponents,
+    cast_blocked_lastdim,
 )
 
 Array = jax.Array
@@ -73,140 +67,6 @@ def _poly2exp_inline(x: Array, kmax: int, use_exp_large: bool) -> Array:
     return jnp.where(k_raw < -kmax, 0.0, out)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("params", "scale", "interpret"),
-)
-def _scores_kernel(
-    q: Array,  # [BH, 1, D] f32 (T == 1 squeezed, batch*heads flattened)
-    k: Array,  # [BH, S, D] f32 cache
-    mask_row: Array,  # [S] f32 additive mask (the model's causal row)
-    params: BasicSDPAParams,
-    scale: float,
-    interpret: bool = False,
-):
-    from jax.experimental import pallas as pl
-
-    BH, S, D = k.shape
-    wl = params.wl
-
-    def kernel(q_ref, k_ref, m_ref, o_ref):
-        qf = q_ref[0].astype(jnp.float32)  # [1, D]
-        kf = k_ref[0].astype(jnp.float32)  # [S, D]
-
-        # q cast: one block per row (block == D), reference rebase-add
-        q_amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
-        qe = jnp.broadcast_to(_exponent_with_sentinel(q_amax), qf.shape)
-        qc = _bfp_cast_with_exponents(qf, qe, wl)
-
-        # K cast along head_dim (the multiplier cast of q @ k.T blocks along
-        # -2 of k.T == rows of k): one block per cache row
-        k_amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
-        ke = jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape)
-        kc = _bfp_cast_with_exponents(kf, ke, wl)
-
-        # QK^T: bf16 MXU, exact for <= 8-bit mantissas, f32 accumulation
-        s = jax.lax.dot_general(
-            qc.astype(jnp.bfloat16),
-            kc.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [1, S]
-        s = _fp16_cast_f32(s)  # actmatmul output cast
-        bias = _fp16_cast_f32(m_ref[:].astype(jnp.float32))  # resadd(0, mask)
-        s = _fp16_cast_f32(s + bias)  # resadd output cast
-        s = s * scale  # Mul (casts SAME)
-        s = _fp16_cast_f32(s)  # softmax input cast
-        # SOFTMAX[vsimd] surrogate (functional/simd_ops.softmax, knorm=0)
-        s = jnp.maximum(s, params.input_clamp)
-        m = jnp.max(s, axis=-1, keepdims=True) - params.max_adjust
-        e = _poly2exp_inline(s - m, params.kmax, params.use_exp_large)
-        ssum = jnp.sum(e, axis=-1, keepdims=True)
-        r0 = 1.0 / ssum
-        r = r0 * (2.0 - ssum * r0)
-        w = _fp16_cast_f32(e * r)  # softmax output cast
-        o_ref[0] = w
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(BH,),
-        in_specs=[
-            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, S, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, S), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, 1, S), jnp.float32),
-        interpret=interpret,
-    )(q, k, mask_row.reshape(1, S))
-    return out
-
-
-@functools.partial(
-    jax.jit, static_argnames=("wl", "block", "interpret")
-)
-def _weighted_value_kernel(
-    w: Array,  # [BH, 1, S] f32 surrogate-softmax scores
-    e_w: Array,  # [BH, 1, ESLOT] int8 slotted per-64-block exponents of w
-    v: Array,  # [BH, S, D] f32 cache
-    wl: int,
-    block: int,
-    interpret: bool = False,
-):
-    from jax.experimental import pallas as pl
-
-    BH, S, D = v.shape
-    nb = S // block
-    ESLOT = e_w.shape[-1]
-
-    def kernel(w_ref, e_ref, v_ref, o_ref):
-        wf = w_ref[0].astype(jnp.float32)  # [1, S]
-        # scores cast: blocks along S (the 2nd actmatmul input cast)
-        e_full = jax.lax.dot_general(
-            e_ref[0].astype(jnp.float32),
-            _expand01(ESLOT, S, block),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [1, S]
-        wc = _bfp_cast_with_exponents(wf, e_full, wl)
-
-        # V cast: blocks along S (the multiplier cast), sublane-split
-        vf = v_ref[0].astype(jnp.float32)  # [S, D]
-        v3 = vf.reshape(nb, block, D)
-        v_amax = jnp.max(jnp.abs(v3), axis=1, keepdims=True)  # [nb, 1, D]
-        ve = jnp.broadcast_to(_exponent_with_sentinel(v_amax), v3.shape)
-        vc = _bfp_cast_with_exponents(v3, ve, wl).reshape(S, D)
-
-        out = jax.lax.dot_general(
-            wc.astype(jnp.bfloat16),
-            vc.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [1, D]
-        o_ref[0] = _fp16_cast_f32(out)  # actmatmul output cast
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(BH,),
-        in_specs=[
-            pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, ESLOT), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, S, D), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, 1, D), jnp.float32),
-        interpret=interpret,
-    )(w, e_w, v)
-    return out
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
-
-
 def basic_sdpa_decode(
     q: Array,  # [B, H, 1, D]
     k: Array,  # [B, H, S, D]
@@ -217,37 +77,74 @@ def basic_sdpa_decode(
     params: BasicSDPAParams,
     interpret: Optional[bool] = None,
 ) -> Array:
-    """Fused BASIC compound-SDPA decode step; returns [B, H, 1, D]."""
-    if interpret is None:
-        interpret = not _on_tpu()
+    """Fused BASIC compound-SDPA decode step; returns [B, H, 1, D].
+
+    Tight inline jnp: decode attention is a vector-matrix product per head,
+    so there is nothing for the MXU or a hand-written kernel to win — XLA
+    fuses this whole chain (both casts, the FLOAT16 boundaries, and the
+    SOFTMAX[vsimd] surrogate) into a handful of kernels.  Measured
+    7us/call vs 172us for the round-2 Pallas mega-kernel and ~250us for
+    the modular module pipeline at OPT-125m decode shapes
+    (tools/diag_marginal.py).
+    """
+    del interpret  # kept for API compatibility; no Pallas path remains
     B, H, S, D = k.shape
     assert q.shape == (B, H, 1, D)
+    wl, block = params.wl, params.block
+    nb = S // block
     mask_row = jnp.broadcast_to(
         jnp.asarray(mask_row, jnp.float32).reshape(-1)[-S:], (S,)
     )
-    # flatten (B, H) into the grid axis: Mosaic requires the last two block
-    # dims to be full-size, so per-(b,h) blocks ride a [BH, ...] layout
-    w = _scores_kernel(
-        q.reshape(B * H, 1, D).astype(jnp.float32),
-        k.reshape(B * H, S, D).astype(jnp.float32),
-        mask_row,
-        params,
-        float(scale),
-        interpret=interpret,
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    # q cast: one block per row (block == head_dim), reference rebase-add
+    q_amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+    qc = _bfp_cast_with_exponents(
+        qf, jnp.broadcast_to(_exponent_with_sentinel(q_amax), qf.shape), wl
     )
-    nb = S // params.block
-    ESLOT = 128
-    e_w = block_exponents(w.reshape(B * H, S), params.block)
-    e_w = jnp.pad(
-        e_w.reshape(B * H, 1, nb), ((0, 0), (0, 0), (0, ESLOT - nb)),
-        constant_values=-128,
+    # K cast along head_dim (the multiplier cast of q @ k.T blocks along
+    # -2 of k.T == rows of k): one block per cache row
+    k_amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
+    kc = _bfp_cast_with_exponents(
+        kf, jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape), wl
     )
-    out = _weighted_value_kernel(
-        w, e_w, v.reshape(B * H, S, D).astype(jnp.float32),
-        params.wl, params.block,
-        interpret=interpret,
+    # QK^T: bf16 MXU (exact for <= 8 quantized mantissa bits), f32 accum
+    s = jnp.einsum(
+        "bhtd,bhsd->bhts",
+        qc.astype(jnp.bfloat16),
+        kc.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     )
-    return out.reshape(B, H, 1, D)
+    s = _fp16_cast_f32(s)  # actmatmul output cast
+    bias = _fp16_cast_f32(mask_row)  # resadd(0, mask) w/ fp16 casts
+    s = _fp16_cast_f32(s + bias)  # resadd output cast
+    s = s * scale  # Mul (casts SAME)
+    s = _fp16_cast_f32(s)  # softmax input cast
+    # SOFTMAX[vsimd] surrogate (functional/simd_ops.softmax, knorm=0)
+    s = jnp.maximum(s, params.input_clamp)
+    m = jnp.max(s, axis=-1, keepdims=True) - params.max_adjust
+    e = _poly2exp_inline(s - m, params.kmax, params.use_exp_large)
+    ssum = jnp.sum(e, axis=-1, keepdims=True)
+    r0 = 1.0 / ssum
+    r = r0 * (2.0 - ssum * r0)
+    w = _fp16_cast_f32(e * r)  # softmax output cast
+
+    # scores cast: blocks along S (the 2nd actmatmul input cast)
+    wc = cast_blocked_lastdim(w, block, wl)
+    # V cast: blocks along S (the multiplier cast)
+    v5 = v.astype(jnp.float32).reshape(B, H, nb, block, D)
+    v_amax = jnp.max(jnp.abs(v5), axis=3, keepdims=True)
+    vc = _bfp_cast_with_exponents(
+        v5, jnp.broadcast_to(_exponent_with_sentinel(v_amax), v5.shape), wl
+    ).reshape(B, H, S, D)
+    out = jnp.einsum(
+        "bhts,bhsd->bhtd",
+        wc.astype(jnp.bfloat16),
+        vc.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return _fp16_cast_f32(out)  # actmatmul output cast
 
 
 def basic_sdpa_shape(sdpa, head_dim: int, seq_len: int) -> Optional[BasicSDPAParams]:

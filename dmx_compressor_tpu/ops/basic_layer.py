@@ -1,0 +1,286 @@
+"""Decode-regime fused layer steps for BASIC mode: norm/resadd/activation
+chains folded into the quantized linear chains.
+
+Round-1 profiling (tools/diag_basic_scan.py) showed full fake-quant BASIC
+decode is dispatch-bound and that the *non-linear* modules — LayerNorm
+(FLOAT16 casts + LAYER_NORM[vsimd] surrogate), ResAdd FLOAT16 chains, ReLU
+casts — cost more than all the quantized matmuls together at decode
+shapes, because the generic module pipeline (observer branches, generic
+blocking with pads/transposes per cast) defeats XLA fusion.  This module
+provides tight inline equivalents — pure jnp that XLA fuses into a handful
+of kernels per layer (measured faster than hand-written Pallas mega-kernels
+on the dispatch-bound target chip; see ops/basic_linear.py) — plus the
+static shape checks that prove an OPT-style decoder layer is in the exact
+BASIC decode configuration they replicate.  One fused layer step:
+
+  LN1 surrogate + input BFP cast + merged-qkv matmul  (fused_ln_linear)
+  fused BASIC SDPA                                    (ops/basic_attention)
+  out_proj                                            (fused_basic_linear)
+  resadd1 + LN2 surrogate + cast + fc1 + ReLU         (fused_ln_linear,
+                                                       emits next residual)
+  fc2 + bias + resadd2 epilogue                       (fused_basic_linear
+                                                       with ``res_out``)
+
+Numerics contract: every folded op replicates the modular DmxModule
+pipeline op-for-op in f32 — FLOAT16 boundaries via the f32 emulation of the
+fp16 grid, the LAYER_NORM[vsimd] surrogate exactly as
+functional/simd_ops.layer_norm (tile_size=None, incl. the Newton-refined
+rsqrt), ReLU folded *after* the fc1 output cast (max(·,0) of fp16-grid
+values stays on the grid, so the ReLU module's own FLOAT16 casts are
+value-identity).  Parity is asserted against the modular path in
+tests/test_basic_layer.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .basic_linear import _fp16_cast_f32, fused_basic_linear
+from .bfp_pack import PackedBFP
+
+Array = jax.Array
+
+
+def layer_norm_surrogate_fp16(x: Array, ln_w: Array, ln_b: Array,
+                              eps: float) -> Array:
+    """FLOAT16 input cast + LAYER_NORM[vsimd] surrogate
+    (functional/simd_ops.layer_norm, tile_size=None, incl. the
+    Newton-refined rsqrt) + FLOAT16 output cast, inline."""
+    x16 = _fp16_cast_f32(x.astype(jnp.float32))
+    mean = jnp.mean(x16, axis=-1, keepdims=True)
+    d = x16 - mean
+    var = jnp.mean(jnp.square(d), axis=-1, keepdims=True)
+    r0 = jax.lax.rsqrt(var + eps)
+    rr = r0 * (1.5 - 0.5 * (var + eps) * r0 * r0)  # one Newton step
+    y = d * rr * ln_w.astype(jnp.float32) + ln_b.astype(jnp.float32)
+    return _fp16_cast_f32(y)
+
+
+def resadd_fp16(a: Array, b: Array) -> Array:
+    """ResAdd under the BASIC rule set: FLOAT16 casts on both inputs, add,
+    FLOAT16 output cast (reference torch_modules.py:15-64)."""
+    return _fp16_cast_f32(
+        _fp16_cast_f32(a.astype(jnp.float32))
+        + _fp16_cast_f32(b.astype(jnp.float32))
+    )
+
+
+def fused_ln_linear(
+    x: Array,
+    *,
+    packed: Optional[PackedBFP] = None,
+    w_bf16: Optional[Array] = None,
+    bias: Array,
+    ln_w: Array,
+    ln_b: Array,
+    eps: float,
+    wl: int,
+    in_block: int,
+    residual: Optional[Array] = None,
+    relu: bool = False,
+    emit_pre: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """[resadd ->] LN-surrogate -> BFP cast -> dequant matmul -> bias ->
+    FLOAT16 [-> ReLU], tight inline jnp (XLA fuses the whole chain into a
+    few kernels; measured faster than a hand-written Pallas mega-kernel on
+    the dispatch-bound target chip — see ops/basic_linear.py docstring).
+    With ``emit_pre`` also returns the resadd output (the next residual).
+    ``relu`` folds max(.,0) after the output cast — bit-exact, because the
+    ReLU module's own FLOAT16 casts are value-identity on fp16-grid inputs.
+    """
+    h = x
+    if residual is not None:
+        h = resadd_fp16(h, residual)
+    pre = h
+    h = layer_norm_surrogate_fp16(h, ln_w, ln_b, eps)
+    y = fused_basic_linear(
+        h,
+        w_bf16=w_bf16,
+        packed=packed,
+        bias=bias,
+        in_wl=wl,
+        in_block=in_block,
+        out_fp16=True,
+        interpret=interpret,
+    )
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if emit_pre:
+        return y, pre.astype(x.dtype)
+    return y
+
+# ---------------------------------------------------------------------------
+# static shape detection
+# ---------------------------------------------------------------------------
+
+
+class BasicLayerPlan(NamedTuple):
+    """Static parameters proving an OPT decoder layer is in the exact BASIC
+    decode shape the mega-kernels reproduce."""
+
+    wl: int
+    block: int
+    ln1_eps: float
+    ln2_eps: float
+
+
+def _linear_basic_ok(m, require_bias: bool = True) -> bool:
+    """The PackedBFPLinear's pipeline folds into a fused kernel: BASIC casts,
+    no active stateful subsystem (mirrors PackedBFPLinear._fusable's static
+    surface)."""
+    from ..numerics.format import BlockFloatingPoint as BFP
+    from ..numerics.format import FloatingPoint
+    from .compress import PackedBFPLinear
+
+    if not isinstance(m, PackedBFPLinear):
+        return False
+    ic = m.input_casts["input_cast"]
+    oc = m.output_casts[m.output_cast_names[0]]
+    fmt = ic.format
+    if not (
+        isinstance(fmt, BFP)
+        and fmt.symmetric
+        and fmt.rounding == "nearest"
+        and fmt.block_size > 1
+        and ic.block_dim in (-1, 1)
+        and m.in_features % fmt.block_size == 0
+        and ic.fake_quant_enabled
+        and not ic.observer_enabled
+        and not ic.pre_transform
+    ):
+        return False
+    if not (
+        isinstance(oc.format, FloatingPoint)
+        and repr(oc.format) == "FP[1|5|10,15](FN)"
+        and oc.fake_quant_enabled
+        and not oc.observer_enabled
+        and not oc.pre_transform
+    ):
+        return False
+    if m.smoothquant is not None and (
+        m.smoothquant.dynamic or m.smoothquant.calibrating
+        or m.smoothquant.input_maxabs_exists
+    ):
+        return False
+    return m.obc is None and m.aft is None and (m.bias is not None or not require_bias)
+
+
+def _fp16_io_ok(m, approx_name: Optional[str]) -> bool:
+    """Module has pure FLOAT16 io casts and the expected approximation."""
+    from ..functional.approximate import NoApproximation
+    from ..numerics.format import FloatingPoint
+
+    def ok(c):
+        return (
+            isinstance(c.format, FloatingPoint)
+            and repr(c.format) == "FP[1|5|10,15](FN)"
+            and c.fake_quant_enabled
+            and not c.observer_enabled
+            and not c.pre_transform
+        )
+
+    for name in m.input_cast_names:
+        if not ok(m.input_casts[name]):
+            return False
+    for name in m.output_cast_names:
+        if not ok(m.output_casts[name]):
+            return False
+    fn = m.approximator.function
+    if approx_name is None:
+        return isinstance(fn, NoApproximation)
+    if isinstance(fn, NoApproximation):
+        return False
+    return (
+        getattr(fn, "func_name", None) == approx_name
+        and not dict(fn.wrapper_params)
+        and not dict(fn.extra_params)
+    )
+
+
+class BasicHeadPlan(NamedTuple):
+    wl: int
+    block: int
+    ln_eps: float
+
+
+def basic_head_plan(final_ln, lm_head) -> Optional[BasicHeadPlan]:
+    """Plan for fusing the decoder's final LayerNorm into the LM head kernel
+    (same checks as the layer plan; lm_head may be bias-free)."""
+    from ..nn import modules as dmxnn
+    from ..nn.core import DmxModule
+
+    if not DmxModule.inference_mode or DmxModule.plugins:
+        return None
+    try:
+        if final_ln is None or not isinstance(final_ln, dmxnn.LayerNorm):
+            return None
+        if not _fp16_io_ok(final_ln, "layer_norm"):
+            return None
+        if final_ln.weight is None or final_ln.bias is None:
+            return None
+        from .compress import PackedBFPLinear
+
+        if not isinstance(lm_head, PackedBFPLinear):
+            return None
+        if not _linear_basic_ok(lm_head, require_bias=False):
+            return None
+        ic = lm_head.input_casts["input_cast"]
+        return BasicHeadPlan(
+            wl=ic.format.precision,
+            block=ic.format.block_size,
+            ln_eps=float(final_ln.eps),
+        )
+    except (KeyError, AttributeError):
+        return None
+
+
+def basic_layer_plan(layer) -> Optional[BasicLayerPlan]:
+    """Return the mega-kernel plan when an OPTDecoderLayer (post
+    compress_for_inference) is in BASIC decode shape; None -> modular path."""
+    from ..nn import modules as dmxnn
+    from ..nn.core import DmxModule
+
+    if not DmxModule.inference_mode or DmxModule.plugins:
+        return None
+    if not layer.do_layer_norm_before:
+        return None
+    attn = layer.self_attn
+    merged = getattr(attn, "qkv_merged", None)
+    try:
+        if merged is None or not _linear_basic_ok(merged):
+            return None
+        if not _linear_basic_ok(layer.fc1):
+            return None
+        if not _linear_basic_ok(layer.fc2) or not _linear_basic_ok(attn.out_proj):
+            return None
+        ln1, ln2 = layer.self_attn_layer_norm, layer.final_layer_norm
+        for ln in (ln1, ln2):
+            if not isinstance(ln, dmxnn.LayerNorm) or not _fp16_io_ok(ln, "layer_norm"):
+                return None
+            if ln.weight is None or ln.bias is None:
+                return None
+        for ra in (layer.resadd1, layer.resadd2):
+            if not isinstance(ra, dmxnn.ResAdd) or not _fp16_io_ok(ra, None):
+                return None
+        if not isinstance(layer.activation_fn, dmxnn.ReLU) or not _fp16_io_ok(
+            layer.activation_fn, None
+        ):
+            return None
+        ic = merged.input_casts["input_cast"]
+        if (
+            layer.fc1.input_casts["input_cast"].format != ic.format
+            or layer.fc2.input_casts["input_cast"].format != ic.format
+        ):
+            return None
+        return BasicLayerPlan(
+            wl=ic.format.precision,
+            block=ic.format.block_size,
+            ln1_eps=float(ln1.eps),
+            ln2_eps=float(ln2.eps),
+        )
+    except (KeyError, AttributeError):
+        return None

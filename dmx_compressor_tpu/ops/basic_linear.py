@@ -1,26 +1,18 @@
 """Fused fake-quant linear: input BFP cast + dequant matmul + FP16 epilogue.
 
-The BASIC-mode decode step is kernel-count bound: every ``CastTo`` site
-lowers to its own fusion chain (~300 sites on OPT-125m), so the full
-fake-quant mode ran at ~0.49x fp32 in round 1 even though the matmuls
-themselves are cheap.  This kernel collapses a BASIC Linear to ONE Pallas
-kernel — the same kernel count as the fp32 baseline's matmul:
+The BASIC-mode decode step is DISPATCH-bound on the target chip: every
+kernel costs ~4us inside a compiled program regardless of its work, and the
+modular pipeline's ~300 ``CastTo`` fusion chains made full fake-quant run
+at ~0.49x fp32 in round 1.  Marginal-cost measurement
+(tools/diag_marginal.py) showed that at decode shapes tight inline jnp —
+which XLA fuses into a handful of kernels — beats hand-written Pallas
+kernels for every cast/epilogue chain (e.g. cast+matmul 5us tight-XLA vs
+14us Pallas), so this module is pure jnp except for one case: int8-packed
+weights go through the ops/bfp_linear.py Pallas dequant-matmul, which
+halves the HBM weight traffic of deep-K layers (the true bottleneck for
+multi-GB models at decode).
 
-    prologue:  input BFP fake-quant (the reference rebase-add trick,
-               numerics/rounding.py block_quantize_lastdim — ~8 vector ops)
-    body:      bf16 MXU matmul (exact: both operands carry <= 8 mantissa
-               bits after quantization, so bf16 products are lossless and
-               accumulation stays f32)
-    epilogue:  bias add + FLOAT16 output cast (f32 emulation of the fp16
-               round-nearest-even grid; Mosaic has no native f16 ops)
-
-The per-block shared exponents of the *input* are computed outside the
-kernel (a tiny [M, K/B] reduction XLA fuses into the producer chain) and
-passed in slotted to 128-lane boundaries, mirroring how ops/bfp_linear.py
-passes weight exponents; inside, a 0/1 expansion matmul broadcasts them to
-per-lane scales (Mosaic rejects lane-splitting reshapes, probed on v5e).
-
-Numerics contract (tested in tests/test_ops.py):
+Numerics contract (tested in tests/test_basic_linear.py):
 - input cast: bit-exact vs ``CastTo`` with a symmetric nearest-rounding
   BFP format blocked along the last axis (reference block_kernel.cu:5-75
   rebase-add semantics, incl. fp32 double rounding and zero-block
@@ -28,8 +20,8 @@ Numerics contract (tested in tests/test_ops.py):
 - output cast: bit-exact vs the FLOAT16 fast path
   (numerics/format.py FloatingPoint.cast: clip to +-65504, RN-to-f16 grid,
   flush below the smallest normal);
-- matmul: f32-accumulated; reassociation differs from a single jnp.matmul
-  only in K-tile summation order.
+- matmul: bf16 operands (lossless for <= 8 quantized mantissa bits),
+  f32 accumulation.
 """
 
 from __future__ import annotations
@@ -127,179 +119,24 @@ def _fp16_cast_f32(y: Array) -> Array:
     return jnp.where(jnp.abs(q) < jnp.float32(6.103515625e-05), 0.0, q)
 
 
-# ---------------------------------------------------------------------------
-# the fused kernel
-# ---------------------------------------------------------------------------
+def _exponent_with_sentinel(amax: Array) -> Array:
+    """floor(log2(amax)) with -128 marking bit-level-zero blocks."""
+    e = R._exponent_of(amax)
+    return jnp.where(R._is_zero(amax), -128.0, e.astype(jnp.float32))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "in_wl", "in_block", "w_precision", "w_block", "out_fp16", "has_bias",
-        "interpret",
-    ),
-)
-def _fused_linear_pallas(
-    x: Array,  # [M, K] f32
-    e_x: Optional[Array],  # [M, K // in_block] int8 or None (no input cast)
-    w_bf16: Optional[Array],  # [N, K] bf16 (pre-dequantized weights) …
-    man: Optional[Array],  # … or packed int8 mantissas [N, K]
-    exp: Optional[Array],  # with int8 exponents [N, K // w_block]
-    bias: Optional[Array],  # [N] f32 (pre-cast) or None
-    in_wl: int,
-    in_block: int,
-    w_precision: int,
-    w_block: int,
-    out_fp16: bool,
-    has_bias: bool,
-    interpret: bool = False,
-):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def cast_blocked_lastdim(x: Array, block: int, wl: int) -> Array:
+    """Symmetric nearest BFP fake-quant, blocks along the last axis — the
+    tight inline form (reference rebase-add numerics, identical to
+    rounding.block_quantize_lastdim).  Pure jnp: on the dispatch-bound
+    target chip XLA's fusion of this chain into the surrounding ops beats a
+    hand-written Pallas kernel (measured 5 vs 14 us/call at decode shapes)."""
+    sh = x.shape
+    xr = x.astype(jnp.float32).reshape(*sh[:-1], sh[-1] // block, block)
+    amax = jnp.max(jnp.abs(xr), axis=-1, keepdims=True)
+    e = jnp.broadcast_to(_exponent_with_sentinel(amax), xr.shape)
+    return _bfp_cast_with_exponents(xr, e, wl).reshape(sh)
 
-    M, K = x.shape
-    N = w_bf16.shape[0] if w_bf16 is not None else man.shape[0]
-    cast_input = e_x is not None
-    packed_w = man is not None
-
-    bm = max(8, min(128, _ceil_to(M, 8)))
-    bn = min(256, _ceil_to(N, 128))
-    bk = min(_ceil_to(K, 128), 2048)
-    if cast_input:
-        bk = min(_ceil_to(K, in_block), 2048)
-    if packed_w:
-        bk = min(_ceil_to(K, max(in_block, w_block) if cast_input else w_block), 2048)
-    padM, padN, padK = (-M) % bm, (-N) % bn, (-K) % bk
-    if padM:
-        x = jnp.pad(x, ((0, padM), (0, 0)))
-    if padK:
-        x = jnp.pad(x, ((0, 0), (0, padK)))
-    Mp, Np, Kp = M + padM, N + padN, K + padK
-    nt = Kp // bk
-    grid = (Mp // bm, Np // bn, nt)
-
-    ESLOT = 128  # one zero-padded 128-lane exponent slot per K-tile
-
-    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, t: (i, t))]
-    operands = [x]
-
-    if cast_input:
-        nbx = bk // in_block
-        assert nbx <= ESLOT, f"K tile {bk} needs {nbx} exponent slots > {ESLOT}"
-        if padK:
-            e_x = jnp.pad(e_x, ((0, 0), (0, padK // in_block)),
-                          constant_values=-128)
-        if padM:
-            e_x = jnp.pad(e_x, ((0, padM), (0, 0)), constant_values=-128)
-        e_x = _slot(e_x, nt, nbx, ESLOT)
-        in_specs.append(pl.BlockSpec((bm, ESLOT), lambda i, j, t: (i, t)))
-        operands.append(e_x)
-
-    if packed_w:
-        nbw = bk // w_block
-        assert nbw <= ESLOT
-        if padN:
-            man = jnp.pad(man, ((0, padN), (0, 0)))
-            exp = jnp.pad(exp, ((0, padN), (0, 0)))
-        if padK:
-            man = jnp.pad(man, ((0, 0), (0, padK)))
-            exp = jnp.pad(exp, ((0, 0), (0, padK // w_block)))
-        exp_slotted = _slot(exp, nt, nbw, ESLOT)
-        in_specs += [
-            pl.BlockSpec((bn, bk), lambda i, j, t: (j, t)),
-            pl.BlockSpec((bn, ESLOT), lambda i, j, t: (j, t)),
-        ]
-        operands += [man, exp_slotted]
-    else:
-        if padN:
-            w_bf16 = jnp.pad(w_bf16, ((0, padN), (0, 0)))
-        if padK:
-            w_bf16 = jnp.pad(w_bf16, ((0, 0), (0, padK)))
-        in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, t: (j, t)))
-        operands.append(w_bf16)
-
-    if has_bias:
-        bias2 = jnp.pad(bias, (0, padN)).reshape(1, Np)
-        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, t: (0, j)))
-        operands.append(bias2)
-
-    def kernel(*refs):
-        idx = 0
-        x_ref = refs[idx]; idx += 1
-        ex_ref = None
-        if cast_input:
-            ex_ref = refs[idx]; idx += 1
-        if packed_w:
-            man_ref = refs[idx]; exp_ref = refs[idx + 1]; idx += 2
-        else:
-            w_ref = refs[idx]; idx += 1
-        bias_ref = None
-        if has_bias:
-            bias_ref = refs[idx]; idx += 1
-        out_ref = refs[idx]
-
-        xf = x_ref[:].astype(jnp.float32)
-        if cast_input:
-            # expand per-block exponents [bm, ESLOT] -> per-lane [bm, bk]
-            # (integer-valued f32 through a 0/1 matmul: exact; slot rows
-            # beyond nbx hit no column)
-            e_full = jax.lax.dot_general(
-                ex_ref[:].astype(jnp.float32),
-                _expand01(ESLOT, bk, in_block),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            xf = _bfp_cast_with_exponents(xf, e_full, in_wl)
-
-        if packed_w:
-            s = jnp.exp2(exp_ref[:].astype(jnp.float32) + (2 - w_precision))
-            scale_full = jax.lax.dot_general(
-                s, _expand01(ESLOT, bk, w_block),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            w = (man_ref[:].astype(jnp.float32) * scale_full).astype(jnp.bfloat16)
-        else:
-            w = w_ref[:]
-
-        partial = jax.lax.dot_general(
-            xf.astype(jnp.bfloat16),
-            w,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-        @pl.when(pl.program_id(2) == 0)
-        def _():
-            out_ref[:] = partial
-
-        @pl.when(pl.program_id(2) != 0)
-        def _():
-            out_ref[:] = out_ref[:] + partial
-
-        if has_bias or out_fp16:
-
-            @pl.when(pl.program_id(2) == nt - 1)
-            def _():
-                y = out_ref[:]
-                if has_bias:
-                    y = y + bias_ref[:].astype(jnp.float32)
-                if out_fp16:
-                    y = _fp16_cast_f32(y)
-                out_ref[:] = y
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, t: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*operands)
-    return out[:M, :N]
 
 
 def fused_basic_linear(
@@ -311,6 +148,7 @@ def fused_basic_linear(
     in_wl: Optional[int] = None,
     in_block: Optional[int] = None,
     out_fp16: bool = False,
+    res_out: Optional[Array] = None,
     interpret: Optional[bool] = None,
 ) -> Array:
     """One-kernel fake-quant linear: y = fp16(cast_bfp(x) @ W_deq.T + b).
@@ -319,29 +157,37 @@ def fused_basic_linear(
     the input BFP cast in the kernel prologue (None = input used as-is);
     exactly one of ``w_bf16`` (pre-dequantized bf16 weights [N, K]) or
     ``packed`` (int8 BFP payload) supplies the weights; ``out_fp16`` applies
-    the FLOAT16 output cast in the epilogue.
+    the FLOAT16 output cast in the epilogue; ``res_out`` (same shape as the
+    output) additionally applies a FLOAT16 ResAdd in the epilogue.
     """
-    if interpret is None:
-        interpret = not _on_tpu()
     lead = x.shape[:-1]
     K = x.shape[-1]
-    x2 = x.reshape(-1, K).astype(jnp.float32)
-    cast_input = in_wl is not None
-    e_x = block_exponents(x2, in_block) if cast_input else None
-    y = _fused_linear_pallas(
-        x2,
-        e_x,
-        None if packed is not None else w_bf16,
-        packed.mantissa if packed is not None else None,
-        packed.exponent if packed is not None else None,
-        bias if bias is not None else None,
-        in_wl=in_wl or 0,
-        in_block=in_block or 0,
-        w_precision=packed.precision if packed is not None else 0,
-        w_block=packed.block_size if packed is not None else 0,
-        out_fp16=out_fp16,
-        has_bias=bias is not None,
-        interpret=interpret,
-    )
     N = w_bf16.shape[0] if w_bf16 is not None else packed.mantissa.shape[0]
+    x2 = x.reshape(-1, K).astype(jnp.float32)
+    if in_wl is not None:
+        x2 = cast_blocked_lastdim(x2, in_block, in_wl)
+    if w_bf16 is not None:
+        # tight XLA path: bf16 MXU matmul, epilogue fused by XLA
+        y = jnp.matmul(
+            x2.astype(jnp.bfloat16), w_bf16.T,
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            y = y + bias
+    else:
+        # int8 payload: the Pallas dequant matmul halves the HBM weight
+        # traffic (the decode win for deep-K layers); bias added in-kernel
+        from .bfp_linear import bfp_linear
+
+        y = bfp_linear(
+            x2, packed, bias=bias,
+            use_pallas=None if interpret is None else not interpret,
+        )
+    if out_fp16:
+        y = _fp16_cast_f32(y)
+    if res_out is not None:
+        # ResAdd epilogue: both inputs already on the fp16 grid, so the
+        # module's input casts are value-identity; only the output cast
+        # reapplies (reference torch_modules.py:15-64, BASIC rule set)
+        y = _fp16_cast_f32(y + _fp16_cast_f32(res_out.reshape(-1, N)))
     return y.reshape(*lead, N).astype(x.dtype)

@@ -12,7 +12,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 
+ONLY = [a for a in sys.argv[2:]]
+
+
 def run_variant(tag, cfg, mode="basic", patch=None, unpatch=None):
+    if ONLY and not any(s in tag for s in ONLY):
+        return 0.0
     if patch:
         patch()
     try:
@@ -89,6 +94,28 @@ def main():
         patch=lambda: setattr(DmxModel, "to_basic_mode", nonlin),
         unpatch=lambda: setattr(DmxModel, "to_basic_mode", orig_basic),
     )
+
+    def only(pred):
+        def f(dm):
+            orig_basic(dm)
+            for name, m in dm.named_dmx_modules():
+                if not pred(name, m):
+                    m.input_casts.set_format(["SAME"] * len(m.input_casts))
+                    m.output_casts.set_format(["SAME"] * len(m.output_casts))
+                    m.approximator.function = NoApproximation()
+        return f
+
+    for tag, pred in (
+        ("only-layernorm", lambda n, m: isinstance(m, dmxnn.LayerNorm)),
+        ("only-sdpa", lambda n, m: "sdpa" in n),
+        ("only-resadd", lambda n, m: isinstance(m, dmxnn.ResAdd) and "sdpa" not in n),
+        ("only-relu+embed", lambda n, m: isinstance(m, (dmxnn.ReLU, dmxnn.Embedding))),
+    ):
+        run_variant(
+            f"basic {tag}", cfg,
+            patch=(lambda p=pred: setattr(DmxModel, "to_basic_mode", only(p))),
+            unpatch=lambda: setattr(DmxModel, "to_basic_mode", orig_basic),
+        )
     print(f"ratio full/base = {full / base:.3f}", flush=True)
 
 
