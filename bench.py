@@ -54,53 +54,86 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
         set_inference_mode(True)  # surrogate-only approximations (same values)
         # prompt_len + gen_len - 1 slots are written (prefill + gen_len-1
         # decode steps); keeping the cache length 64-aligned lets the fused
-        # BASIC attention kernels engage (S % block == 0)
-        caches = model.init_cache(batch, prompt_len + gen_len - 1,
-                                  quantized=quantized_kv)
+        # BASIC attention kernels engage (S % block == 0).
+        # float16 storage is BIT-EXACT in BASIC mode: every cached k/v is a
+        # FLOAT16-output-cast projection, already on the fp16 grid — and the
+        # loop-carried cache is copied every scan step on this platform, so
+        # halving its bytes directly buys decode throughput.
+        caches = model.init_cache(
+            batch, prompt_len + gen_len - 1, quantized=quantized_kv,
+            dtype=jnp.float32 if mode == "weights" else jnp.float16,
+            # basic mode: prefill/decode split cache — the invariant prefill
+            # segment is never carried-mutated in the decode scan
+            split_base_len=prompt_len if mode == "basic" else None,
+        )
     else:
         dm.to_baseline_mode()
         caches = model.init_cache(batch, prompt_len + gen_len - 1,
                                   quantized=quantized_kv)
     graphdef, state = nnx.split((model, caches))
 
+    def greedy(logits_row):
+        # argmax via two plain reduces: the tuple-reduce argmax lowering
+        # costs ~150us/step on the target chip vs ~10us for this form
+        mx = jnp.max(logits_row, axis=-1, keepdims=True)
+        idx = jnp.arange(logits_row.shape[-1], dtype=jnp.int32)
+        return jnp.max(
+            jnp.where(logits_row == mx, idx, -1), axis=-1
+        ).astype(jnp.int32)
+
     def prefill(state, ids):
         mod, cs = nnx.merge(graphdef, state)
         logits = mod(ids, caches=cs, position_offset=0)
         _, new_state = nnx.split((mod, cs))
-        return new_state, jnp.argmax(logits[:, -1], axis=-1)
+        return new_state, greedy(logits[:, -1])
 
-    def generate(state, tok, n_steps: int):
-        def body(carry, i):
-            state, tok = carry
-            mod, cs = nnx.merge(graphdef, state)
-            logits = mod(tok[:, None], caches=cs, position_offset=prompt_len + i)
-            _, s2 = nnx.split((mod, cs))
-            nxt = jnp.argmax(logits[:, -1], axis=-1)
-            return (s2, nxt), nxt
+    def prepare(state):
+        """Eager (un-jitted) step between the prefill and decode dispatches:
+        applies the prefilled state back onto the live modules, precomputes
+        the invariant base-segment casts (SplitKVCache), and returns the
+        decode closure built from a FRESH graphdef so the new static
+        attributes reach the decode trace."""
+        from dmx_compressor_tpu.models.opt import prepare_split_decode
 
-        (state, tok), toks = jax.lax.scan(
-            body, (state, tok), jnp.arange(n_steps)
+        nnx.update((model, caches), state)
+        if hasattr(model, "model"):  # OPT-family
+            prepare_split_decode(model, caches)
+        graphdef2, state2 = nnx.split((model, caches))
+
+        def generate(state, tok, n_steps: int):
+            def body(carry, i):
+                state, tok = carry
+                mod, cs = nnx.merge(graphdef2, state)
+                logits = mod(tok[:, None], caches=cs,
+                             position_offset=prompt_len + i)
+                _, s2 = nnx.split((mod, cs))
+                nxt = greedy(logits[:, -1])
+                return (s2, nxt), nxt
+
+            (state, tok), toks = jax.lax.scan(
+                body, (state, tok), jnp.arange(n_steps)
+            )
+            return state, toks
+
+        import functools
+
+        return state2, jax.jit(
+            functools.partial(generate, n_steps=gen_len - 1), donate_argnums=0
         )
-        return state, toks
 
-    import functools
-
-    return (
-        state,
-        jax.jit(prefill, donate_argnums=0),
-        jax.jit(functools.partial(generate, n_steps=gen_len - 1), donate_argnums=0),
-    )
+    return state, jax.jit(prefill, donate_argnums=0), prepare
 
 
 def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=3,
         quantized_kv=False) -> float:
-    state, prefill, generate = build(mode, cfg, prompt_len, gen_len, batch,
-                                     quantized_kv=quantized_kv)
+    state, prefill, prepare = build(mode, cfg, prompt_len, gen_len, batch,
+                                    quantized_kv=quantized_kv)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
 
     state, tok = prefill(state, ids)
     _ = float(jnp.sum(tok))
+    state, generate = prepare(state)
 
     best = 0.0
     # each rep rewrites the same cache window (positions restart), so the

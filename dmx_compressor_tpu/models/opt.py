@@ -92,6 +92,44 @@ class OPTAttention(nnx.Module):
             return qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
         return self.q_proj(x), self.k_proj(x), self.v_proj(x)
 
+    def _attend_split(self, q, k, v, attn_mask, cache, position_offset):
+        """Attention over a SplitKVCache: the invariant base segment is read
+        without being carried-mutated (the per-step full-buffer rewrite of
+        loop-carried caches is the dominant decode cost on the target
+        platform — see ops/kv_cache.SplitKVCache)."""
+        B, H, T, Dh = q.shape
+        prefill = (
+            T > 1 and isinstance(position_offset, int) and position_offset == 0
+        )
+        from ..ops.basic_attention import (
+            basic_sdpa_decode_split,
+            basic_sdpa_shape,
+        )
+
+        if prefill:
+            cache.write_base(k, v)
+            # (the invariant base casts are precomputed by
+            # prepare_split_decode between the prefill and decode dispatches)
+            if self._sdpa_transparent():
+                from ..ops.flash_attention import flash_attention
+
+                return flash_attention(q, k, v, causal=True, scale=self.scaling)
+            return self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
+        if T == 1 and attn_mask is not None:
+            p = basic_sdpa_shape(self.sdpa, self.head_dim, cache.tail_len)
+            if p is not None and cache.base_len % p.block == 0:
+                bk, bv, tk, tv = cache.append_tail(k, v)
+                precast = cache.base_cast_key == (p.wl, p.block)
+                return basic_sdpa_decode_split(
+                    q, bk, bv, tk, tv, attn_mask,
+                    scale=self.scaling, params=p,
+                    base_k_cast=cache.base_k_cast.value if precast else None,
+                    base_v_cast=cache.base_v_cast.value if precast else None,
+                )
+        # modular fallback: concatenate segments (correct, slower)
+        kf, vf, _ = cache.update(k, v)
+        return self.sdpa(q, kf, vf, attn_mask=attn_mask, scale=self.scaling)
+
     def _sdpa_transparent(self) -> bool:
         """True when the sdpa module applies no fake-quant casts or surrogate
         (weights-only serving / raw model) — the flash kernel is then exact
@@ -128,6 +166,9 @@ class OPTAttention(nnx.Module):
         B, T, D = _q.shape
         q, k, v = self._split(_q), self._split(_k), self._split(_v)
         quant = cache is not None and getattr(cache, "quantized", False)
+        if cache is not None and getattr(cache, "split", False):
+            out = self._attend_split(q, k, v, attn_mask, cache, position_offset)
+            return out.transpose(0, 2, 1, 3).reshape(B, T, D)
         # Prefill at offset 0: append to the cache but attend over the fresh
         # K/V with the blockwise flash kernel — O(T·D) memory instead of a
         # [T, S_max] fp32 logits buffer per layer (OPT-1.3B at 2k context
@@ -297,7 +338,7 @@ class OPTDecoder(nnx.Module):
 
         # causal mask; with a cache, queries attend to all filled slots
         if caches is not None:
-            S = caches[0].k.value.shape[2]
+            S = getattr(caches[0], "seq_len", None) or caches[0].k.value.shape[2]
             kpos = jnp.arange(S)[None, :]
             qpos = (jnp.arange(T) + position_offset)[:, None]
             mask = jnp.where(kpos <= qpos, 0.0, -1e4).astype(x.dtype)
@@ -364,7 +405,9 @@ class OPTForCausalLM(nnx.Module):
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 
-    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
+    def init_cache(self, batch: int, max_len: int, dtype=None,
+                   quantized: bool = False,
+                   split_base_len: Optional[int] = None):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -374,6 +417,34 @@ class OPTForCausalLM(nnx.Module):
             cfg.hidden_size // cfg.num_attention_heads,
             dtype or cfg.dtype,
             quantized=quantized,
+            split_base_len=split_base_len,
+        )
+
+
+def prepare_split_decode(model: "OPTForCausalLM", caches) -> None:
+    """Eagerly precompute the invariant base-segment BASIC casts after
+    prefill (run OUTSIDE jit, between the prefill and decode dispatches —
+    nnx static attributes set inside a traced function do not survive the
+    trace).  No-op for non-split caches or non-BASIC configs."""
+    from ..ops.basic_attention import (
+        basic_sdpa_shape,
+        cast_k_rows,
+        cast_v_sblocks,
+    )
+    from ..ops.kv_cache import SplitKVCache
+
+    layers = model.model.decoder.layers
+    for layer, cache in zip(layers, caches):
+        if not isinstance(cache, SplitKVCache):
+            continue
+        attn = layer.self_attn
+        p = basic_sdpa_shape(attn.sdpa, attn.head_dim, cache.tail_len)
+        if p is None or cache.base_len % p.block != 0:
+            continue
+        cache.set_base_cast(
+            cast_k_rows(cache.base_k.value, p.wl),
+            cast_v_sblocks(cache.base_v.value, p.block, p.wl),
+            key=(p.wl, p.block),
         )
 
 

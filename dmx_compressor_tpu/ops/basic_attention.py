@@ -109,13 +109,20 @@ def basic_sdpa_decode(
     kc = _bfp_cast_with_exponents(
         kf, jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape), wl
     )
-    # QK^T: bf16 MXU (exact for <= 8 quantized mantissa bits), f32 accum
+    # QK^T: bf16 MXU (exact for <= 8 quantized mantissa bits), f32 accum.
+    # The query row is broadcast to 8 rows so XLA lowers a true dot_general:
+    # a T=1 matvec lowers to a layout-flexible multiply-reduce fusion, which
+    # lets layout assignment give the K/V cache an S-minor layout — and an
+    # S-minor cache turns every dynamic_update_slice append into a strided
+    # full-buffer rewrite (~25us x 24 per decode step, measured).  dots pin
+    # default (D-minor) operand layouts; the 8x redundant rows are free on
+    # the MXU (its minimum sublane tile is 8 anyway).
     s = jnp.einsum(
         "bhtd,bhsd->bhts",
-        qc.astype(jnp.bfloat16),
+        jnp.broadcast_to(qc.astype(jnp.bfloat16), (B, H, 8, D)),
         kc.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    )
+    )[:, :, :1]
     s = _fp16_cast_f32(s)  # actmatmul output cast
     bias = _fp16_cast_f32(mask_row)  # resadd(0, mask) w/ fp16 casts
     s = _fp16_cast_f32(s + bias)  # resadd output cast
@@ -138,11 +145,112 @@ def basic_sdpa_decode(
     vc = _bfp_cast_with_exponents(
         v5, jnp.broadcast_to(_exponent_with_sentinel(v_amax), v5.shape), wl
     ).reshape(B, H, S, D)
+    # same 8-row broadcast as the QK dot (see comment above)
     out = jnp.einsum(
         "bhts,bhsd->bhtd",
-        wc.astype(jnp.bfloat16),
+        jnp.broadcast_to(wc.astype(jnp.bfloat16), (B, H, 8, S)),
         vc.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
+    )[:, :, :1]
+    return _fp16_cast_f32(out)  # actmatmul output cast
+
+
+def cast_k_rows(k: Array, wl: int) -> Array:
+    """The BASIC k-cast: one BFP block per cache row (block == head_dim)."""
+    kf = k.astype(jnp.float32)
+    k_amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
+    return _bfp_cast_with_exponents(
+        kf, jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape), wl
+    )
+
+
+def cast_v_sblocks(v: Array, block: int, wl: int) -> Array:
+    """The BASIC v-cast: BFP blocks along the sequence axis."""
+    B, H, S, D = v.shape
+    v5 = v.astype(jnp.float32).reshape(B, H, S // block, block, D)
+    v_amax = jnp.max(jnp.abs(v5), axis=3, keepdims=True)
+    return _bfp_cast_with_exponents(
+        v5, jnp.broadcast_to(_exponent_with_sentinel(v_amax), v5.shape), wl
+    ).reshape(B, H, S, D)
+
+
+def basic_sdpa_decode_split(
+    q: Array,  # [B, H, 1, D]
+    base_k: Array,  # [B, H, S0, D]  (invariant prefill segment)
+    base_v: Array,
+    tail_k: Array,  # [B, H, C, D]   (mutable decode segment)
+    tail_v: Array,
+    mask_row: Array,  # broadcastable to [1, S0 + C], additive float mask
+    *,
+    scale: float,
+    params: BasicSDPAParams,
+    base_k_cast: Optional[Array] = None,  # bf16 precomputed base casts
+    base_v_cast: Optional[Array] = None,
+) -> Array:
+    """BASIC compound-SDPA decode over a split KV cache (ops/kv_cache.py
+    SplitKVCache) without concatenating the segments.
+
+    Numerics == :func:`basic_sdpa_decode` over the concatenated cache: the
+    per-row k-cast is segment-local by construction, and the S-blocked
+    score/V casts stay segment-local because S0 and C are multiples of the
+    block size (blocks never straddle the boundary).  Only the final WV
+    accumulation order differs (two partial f32 sums), the same
+    reassociation class as a K-tiled matmul.
+    """
+    B, H, S0, D = base_k.shape
+    C = tail_k.shape[2]
+    wl, block = params.wl, params.block
+    assert S0 % block == 0 and C % block == 0, (S0, C, block)
+    mask_row = jnp.asarray(mask_row, jnp.float32).reshape(-1)[-(S0 + C):]
+
+    qf = q.astype(jnp.float32)
+    q_amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+    qc = _bfp_cast_with_exponents(
+        qf, jnp.broadcast_to(_exponent_with_sentinel(q_amax), qf.shape), wl
+    ).astype(jnp.bfloat16)
+    q8 = jnp.broadcast_to(qc, (B, H, 8, D))
+
+    def seg_scores(k_seg, precast):
+        kc = precast if precast is not None else cast_k_rows(k_seg, wl).astype(
+            jnp.bfloat16
+        )
+        return jnp.einsum(
+            "bhtd,bhsd->bhts", q8, kc,
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+
+    s = jnp.concatenate(
+        [seg_scores(base_k, base_k_cast), seg_scores(tail_k, None)], axis=-1
+    )
+    s = _fp16_cast_f32(s)  # actmatmul output cast
+    bias = _fp16_cast_f32(mask_row)
+    s = _fp16_cast_f32(s + bias)  # resadd output cast
+    s = s * scale
+    s = _fp16_cast_f32(s)  # softmax input cast
+    s = jnp.maximum(s, params.input_clamp)
+    m = jnp.max(s, axis=-1, keepdims=True) - params.max_adjust
+    e = _poly2exp_inline(s - m, params.kmax, params.use_exp_large)
+    ssum = jnp.sum(e, axis=-1, keepdims=True)
+    r0 = 1.0 / ssum
+    r = r0 * (2.0 - ssum * r0)
+    w = _fp16_cast_f32(e * r)  # softmax output cast
+
+    wc = cast_blocked_lastdim(w, block, wl)
+
+    def seg_out(w_seg, v_seg, precast):
+        S_seg = w_seg.shape[-1]
+        vc = precast if precast is not None else cast_v_sblocks(
+            v_seg, block, wl
+        ).astype(jnp.bfloat16)
+        return jnp.einsum(
+            "bhts,bhsd->bhtd",
+            jnp.broadcast_to(w_seg.astype(jnp.bfloat16), (B, H, 8, S_seg)),
+            vc,
+            preferred_element_type=jnp.float32,
+        )[:, :, :1]
+
+    out = seg_out(wc[..., :S0], base_v, base_v_cast) + seg_out(
+        wc[..., S0:], tail_v, None
     )
     return _fp16_cast_f32(out)  # actmatmul output cast
 

@@ -96,8 +96,8 @@ class PackedBFPLinear(DmxModule):
 
     def _fusable(self, x) -> bool:
         """Static check: the whole BASIC pipeline of this module folds into
-        the fused kernel (ops/basic_linear.py).  Falls back to the modular
-        path whenever any stateful subsystem is active."""
+        the tight fused path (ops/basic_linear.py).  Falls back to the
+        modular path whenever any stateful subsystem is active."""
         from ..numerics.format import BlockFloatingPoint as BFP
         from ..numerics.format import FloatingPoint
         from ..utils.tracing import eager as _eager
@@ -118,8 +118,6 @@ class PackedBFPLinear(DmxModule):
             and ic.format.block_size > 1
             and ic.block_dim in (-1, x.ndim - 1)
             and self.in_features % ic.format.block_size == 0
-            and 2048 % ic.format.block_size == 0  # K-tile stays block-aligned
-            and 2048 // ic.format.block_size <= 128  # exponent slot capacity
             and ic.fake_quant_enabled
             and not ic.observer_enabled
             and not ic.pre_transform

@@ -48,27 +48,29 @@ _ROW = r"out_proj|o_proj|fc2|down_proj|c_proj"
 # (path regex, PartitionSpec) — first match wins.
 TRANSFORMER_RULES: Tuple[Tuple[str, P], ...] = (
     # column parallel (shard out over tp)
-    (rf".*({_COL})\.(weight|weight_mantissa)(\.value)?$", P("tp", None)),
-    (rf".*({_COL})\.weight_exponent(\.value)?$", P("tp", None)),
-    (rf".*({_COL})\.weight_bf16(\.value)?$", P("tp", None)),
-    (rf".*({_COL})\.bias(\.value)?$", P("tp")),
+    (rf".*({_COL})\.(weight|weight_mantissa)(\.+value)?$", P("tp", None)),
+    (rf".*({_COL})\.weight_exponent(\.+value)?$", P("tp", None)),
+    (rf".*({_COL})\.weight_bf16(\.+value)?$", P("tp", None)),
+    (rf".*({_COL})\.bias(\.+value)?$", P("tp")),
     # per-out-channel quantizer state on column-parallel weight casts shards
     # with the out dim; input-cast state follows the (unsharded) in dim
-    (rf".*({_COL})\.(weight_cast|weight_storage_cast)\.(scale|zero_point)(\.value)?$",
+    (rf".*({_COL})\.(weight_cast|weight_storage_cast)\.(scale|zero_point)(\.+value)?$",
      P("tp")),
-    (rf".*({_COL}).*(scale|zero_point)(\.value)?$", P()),
+    (rf".*({_COL}).*(scale|zero_point)(\.+value)?$", P()),
     # row parallel (shard in over tp); per-block weight exponents shard the
     # same way (block axis = in, block co-location holds when
     # in % (tp * block) == 0)
-    (rf".*({_ROW})\.(weight|weight_bf16|weight_mantissa|weight_exponent)(\.value)?$",
+    (rf".*({_ROW})\.(weight|weight_bf16|weight_mantissa|weight_exponent)(\.+value)?$",
      P(None, "tp")),
-    (rf".*({_ROW})\.bias(\.value)?$", P()),
-    # conv stems (Whisper conv1/conv2, CLIP patch embedding): shard out-ch
-    (r".*(conv1|conv2|patch_embedding)\.(weight|kernel)(\.value)?$", P("tp")),
+    (rf".*({_ROW})\.bias(\.+value)?$", P()),
+    # conv stems (Whisper conv1/conv2, CLIP patch embedding) stay replicated:
+    # they are <1% of model FLOPs, and out-channel sharding of the unfold
+    # lowering produced wrong results in testing (test_parallel.py CLIP) —
+    # replication is the verified-safe layout
     # embeddings: shard vocab over tp (quantizer state stays replicated —
     # per-channel embed state is per-row only when calibrated per_channel,
     # which the presets never do for embeddings)
-    (r".*embed_tokens.*(scale|zero_point)(\.value)?$", P()),
+    (r".*embed_tokens.*(scale|zero_point)(\.+value)?$", P()),
     (r".*embed_tokens.*", P("tp", None)),
     (r".*(wte|token_embedding)\..*", P("tp", None)),
     (r".*(embed_positions|wpe|position_embedding)\..*", P(None)),
@@ -109,15 +111,15 @@ def rules_for_model(model) -> Tuple[Tuple[str, P], ...]:
         esc = re.escape(name)
         if col_re.fullmatch(leaf):
             rules += [
-                (rf"{esc}\.(weight|weight_mantissa|weight_exponent|weight_bf16)(\.value)?$",
+                (rf"{esc}\.(weight|weight_mantissa|weight_exponent|weight_bf16)(\.+value)?$",
                  P("tp", None)),
-                (rf"{esc}\.bias(\.value)?$", P("tp")),
-                (rf"{esc}\.(weight_cast|weight_storage_cast)\.(scale|zero_point)(\.value)?$",
+                (rf"{esc}\.bias(\.+value)?$", P("tp")),
+                (rf"{esc}\.(weight_cast|weight_storage_cast)\.(scale|zero_point)(\.+value)?$",
                  P("tp")),
             ]
         elif row_re.fullmatch(leaf):
             rules += [
-                (rf"{esc}\.(weight|weight_mantissa|weight_exponent|weight_bf16)(\.value)?$",
+                (rf"{esc}\.(weight|weight_mantissa|weight_exponent|weight_bf16)(\.+value)?$",
                  P(None, "tp")),
             ]
         else:
@@ -150,7 +152,9 @@ def shard_state(state, mesh: Mesh, rules=TRANSFORMER_RULES, data_axis: str = "dp
         dims = dims[: leaf.ndim]
         for i, ax in enumerate(dims):
             if ax is not None and leaf.shape[i] % mesh.shape[ax] != 0:
-                if warn_on_fallback:
+                # size-1 dims are per-tensor quantizer state hitting a
+                # per-channel rule: replication is correct, not misconfig
+                if warn_on_fallback and leaf.shape[i] != 1:
                     log.warning(
                         "sharding fallback: %s dim %d (size %d) does not "
                         "divide mesh axis %r (%d) — replicating that dim",

@@ -128,6 +128,55 @@ class TestDecodeParity:
         )
 
 
+class TestSplitCacheParity:
+    def test_split_equals_monolithic(self):
+        from dmx_compressor_tpu.ops.basic_attention import basic_sdpa_decode_split
+
+        sdpa = make_basic_sdpa()
+        S0, C = 128, 64
+        q, k, v, _ = _qkvm(5, S=S0 + C)
+        mask = jnp.where(jnp.arange(S0 + C) < S0 + 7, 0.0, -1e4
+                         ).astype(jnp.float32)[None, :]
+        p = basic_sdpa_shape(sdpa, 64, S0 + C)
+        scale = 0.125
+        mono = basic_sdpa_decode(q, k, v, mask, scale=scale, params=p)
+        split = basic_sdpa_decode_split(
+            q, k[:, :, :S0], v[:, :, :S0], k[:, :, S0:], v[:, :, S0:],
+            mask, scale=scale, params=p,
+        )
+        np.testing.assert_allclose(
+            np.asarray(split), np.asarray(mono), rtol=1e-6, atol=1e-6
+        )
+
+    def test_opt_split_cache_decode_matches_monolithic_cache(self):
+        from dmx_compressor_tpu.modeling.model import DmxModel
+        from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+        from dmx_compressor_tpu.ops.compress import compress_for_inference
+
+        cfg = OPTConfig(vocab_size=256, hidden_size=128, ffn_dim=256,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        max_position_embeddings=256)
+        model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+        dm = DmxModel.from_raw(model)
+        dm.to_basic_mode()
+        compress_for_inference(dm)
+
+        B, P = 2, 64
+        ids = jax.random.randint(jax.random.key(3), (B, P), 0, cfg.vocab_size)
+        tok = jnp.ones((B, 1), jnp.int32)
+
+        mono = model.init_cache(B, P + 64)
+        model(ids, caches=mono, position_offset=0)
+        want = model(tok, caches=mono, position_offset=P)
+
+        split = model.init_cache(B, P + 64, split_base_len=P)
+        model(ids, caches=split, position_offset=0)
+        got = model(tok, caches=split, position_offset=P)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4
+        )
+
+
 class TestOPTIntegration:
     def _cfg(self):
         from dmx_compressor_tpu.models.opt import OPTConfig
