@@ -177,6 +177,87 @@ class TestSplitCacheParity:
         )
 
 
+class TestQuantizedKVBasicContract:
+    """VERDICT r1 weak #3: an int8 KV cache must not bypass the compound
+    SDPA's cast/surrogate pipeline in BASIC mode — quantized storage changes
+    only the cached values, never the numerics contract."""
+
+    def _model(self):
+        from dmx_compressor_tpu.modeling.model import DmxModel
+        from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+        from dmx_compressor_tpu.ops.compress import compress_for_inference
+
+        cfg = OPTConfig(vocab_size=256, hidden_size=128, ffn_dim=256,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        max_position_embeddings=128)
+        model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+        dm = DmxModel.from_raw(model)
+        dm.to_basic_mode()
+        compress_for_inference(dm)
+        return cfg, model
+
+    def test_basic_mode_int8_cache_applies_sdpa_pipeline(self, monkeypatch):
+        cfg, model = self._model()
+        B, P = 2, 31
+        ids = jax.random.randint(jax.random.key(7), (B, P), 0, cfg.vocab_size)
+        tok = jnp.ones((B, 1), jnp.int32)
+
+        # exact-softmax fast path must NOT be taken in BASIC mode
+        import dmx_compressor_tpu.models.opt as opt_mod
+
+        def boom(*a, **kw):
+            raise AssertionError("quantized_sdpa bypassed the BASIC contract")
+
+        monkeypatch.setattr(opt_mod, "quantized_sdpa", boom)
+
+        qcaches = model.init_cache(B, 64, quantized=True)
+        model(ids, caches=qcaches, position_offset=0)
+        got = model(tok, caches=qcaches, position_offset=P)
+
+        # reference: the MODULAR compound-SDPA pipeline on identical
+        # quantized cache state (surrogate softmax + casts on dequantized
+        # values) — forcing the fused path off must not change numerics
+        import dmx_compressor_tpu.ops.basic_attention as ba
+
+        qcaches2 = model.init_cache(B, 64, quantized=True)
+        model(ids, caches=qcaches2, position_offset=0)
+        monkeypatch.setattr(ba, "basic_sdpa_shape", lambda *a, **kw: None)
+        want = model(tok, caches=qcaches2, position_offset=P)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4
+        )
+
+    def test_weights_mode_keeps_int8_fast_path(self, monkeypatch):
+        from dmx_compressor_tpu.functional.approximate import NoApproximation
+
+        cfg, model = self._model()
+        # strip sdpa casts/approx -> transparent: the exact int8 path engages
+        from dmx_compressor_tpu.transform.substitute import named_dmx_modules
+
+        for name, m in named_dmx_modules(model):
+            if "sdpa" in name:
+                m.input_casts.set_format(["SAME"] * len(m.input_casts))
+                m.output_casts.set_format(["SAME"] * len(m.output_casts))
+                m.approximator.function = NoApproximation()
+
+        import dmx_compressor_tpu.models.opt as opt_mod
+
+        calls = {"n": 0}
+        orig = opt_mod.quantized_sdpa
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(opt_mod, "quantized_sdpa", counting)
+        B, P = 2, 31
+        ids = jax.random.randint(jax.random.key(8), (B, P), 0, cfg.vocab_size)
+        caches = model.init_cache(B, 64, quantized=True)
+        model(ids, caches=caches, position_offset=0)
+        model(jnp.ones((B, 1), jnp.int32), caches=caches, position_offset=P)
+        assert calls["n"] == cfg.num_hidden_layers
+
+
 class TestOPTIntegration:
     def _cfg(self):
         from dmx_compressor_tpu.models.opt import OPTConfig
