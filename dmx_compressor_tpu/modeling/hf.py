@@ -147,6 +147,11 @@ def model_from_checkpoint(path: str, *, dtype=jnp.float32):
 
         cfg = LlamaConfig.from_hf(cfg_json)
         model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    elif model_type == "mistral":
+        from ..models.mistral import MistralConfig, MistralForCausalLM
+
+        cfg = MistralConfig.from_hf(cfg_json)
+        model = MistralForCausalLM(cfg, rngs=nnx.Rngs(0))
     elif model_type == "whisper":
         from ..models.whisper import WhisperConfig, WhisperForConditionalGeneration
 

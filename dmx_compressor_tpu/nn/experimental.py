@@ -143,13 +143,90 @@ class Conv2dUnfold(_UnfoldConvBase):
 
 
 class Conv1dScatter(Conv1dUnfold):
-    """conv1d as scatter + matmul (reference experimental.py:127-315).
+    """conv1d as per-tap matmuls with scatter-style accumulation (reference
+    experimental.py:127-315).
 
-    On TPU the scatter formulation lowers to the same GEMM as unfold (XLA
-    gathers are the efficient primitive); kept as a named alias so reference
-    configs that select the scatter lowering resolve.
+    Instead of materializing im2col patches and contracting once, each
+    kernel tap contributes a strided input slice x_k through its own
+    channel-matmul, and the tap partials accumulate into the output — the
+    scatter formulation's dataflow.  Products are identical to the unfold
+    lowering; only the f32 accumulation order differs (per-tap partial sums
+    vs a single contraction), verified in tests/test_experimental.py.  Cast
+    topology matches the unfold module (input cast on the tap-major patch
+    rows, weight cast on the GEMM-shaped weight).
     """
+
+    def __call__(self, input, *args, **kwargs):
+        _dtype = input.dtype
+        B, C, T = input.shape
+        (k,) = self.kernel_size
+        (s,) = self.stride
+        (p,) = self.padding
+        (d,) = self.dilation
+        (L,) = self._out_spatial((T,))
+        xp = jnp.pad(input, ((0, 0), (0, 0), (p, p)))
+        # channel-major patch rows [B, L, C*k] (identical element order and
+        # hence identical cast blocks to the unfold lowering)
+        taps = [
+            jax.lax.slice_in_dim(xp, j * d, j * d + (L - 1) * s + 1, s, axis=2)
+            for j in range(k)
+        ]  # each [B, C, L]
+        x = jnp.stack(taps, axis=2).transpose(0, 3, 1, 2).reshape(B, L, C * k)
+        _x, _, _ = self.input_casts(x)
+        _w = self._weight.reshape(self.out_channels, C, k)
+        _xt = _x.reshape(B, L, C, k)
+        y = None
+        for j in range(k):  # scatter-accumulate tap partials
+            part = jnp.einsum(
+                "blc,oc->blo", _xt[..., j].astype(jnp.float32),
+                _w[..., j].astype(jnp.float32),
+            )
+            y = part if y is None else y + part
+        if not isinstance(self.accum_format, Same):
+            y = self.accum_cast(y)
+        if self.bias is not None:
+            y = y + self._bias.astype(y.dtype)
+        y = self.output_casts(y, output=True)
+        return y.transpose(0, 2, 1).astype(_dtype)
 
 
 class Conv2dGather(Conv2dUnfold):
-    """conv2d as gather + matmul (reference experimental.py:460+)."""
+    """conv2d as explicit index-gather + matmul (reference
+    experimental.py:460+).
+
+    The patch rows are fetched with a precomputed flat spatial index table
+    (one gather) instead of ``conv_general_dilated_patches`` — the gather
+    formulation's dataflow, identical element ordering, so outputs are
+    bit-equal to the unfold lowering (tests/test_experimental.py)."""
+
+    def __call__(self, input, *args, **kwargs):
+        _dtype = input.dtype
+        B, C = input.shape[:2]
+        in_sp = input.shape[2:]
+        (kh, kw) = self.kernel_size
+        (sh, sw) = self.stride
+        (ph, pw) = self.padding
+        (dh, dw) = self.dilation
+        Ho, Wo = self._out_spatial(in_sp)
+        xp = jnp.pad(input, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+        Hp, Wp = xp.shape[2:]
+        oy = (jnp.arange(Ho) * sh)[:, None, None, None]
+        ox = (jnp.arange(Wo) * sw)[None, :, None, None]
+        ky = (jnp.arange(kh) * dh)[None, None, :, None]
+        kx = (jnp.arange(kw) * dw)[None, None, None, :]
+        idx = ((oy + ky) * Wp + (ox + kx)).reshape(Ho * Wo, kh * kw)
+        patches = jnp.take(
+            xp.reshape(B, C, Hp * Wp), idx.reshape(-1), axis=2
+        ).reshape(B, C, Ho * Wo, kh * kw)
+        # [B, L, C*kh*kw], channel-major like _im2col
+        x = patches.transpose(0, 2, 1, 3).reshape(B, Ho * Wo, C * kh * kw)
+        _x, _, _ = self.input_casts(x)
+        if isinstance(self.accum_format, Same):
+            y = _x @ self._weight.T.astype(_x.dtype)
+        else:
+            y = self.accum_cast(_x @ self._weight.T)
+        if self.bias is not None:
+            y = y + self._bias.astype(y.dtype)
+        y = self.output_casts(y, output=True)
+        y = y.transpose(0, 2, 1).reshape(B, self.out_channels, Ho, Wo)
+        return y.astype(_dtype)

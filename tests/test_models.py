@@ -112,6 +112,95 @@ def test_llama_forward_gqa():
     assert any("apply_rope" in n for n, _ in dm.named_dmx_modules())
 
 
+def test_mistral_forward_sliding_window():
+    from dmx_compressor_tpu.models.mistral import MistralConfig, MistralForCausalLM
+
+    cfg = MistralConfig.tiny()  # GQA + sliding_window=16
+    model = MistralForCausalLM(cfg, rngs=nnx.Rngs(0))
+    x = ids(2, 32, cfg.vocab_size)
+    full = np.asarray(model(x))
+    assert full.shape == (2, 32, cfg.vocab_size)
+    # the banded mask actually matters: widening the window changes logits
+    # at positions beyond it
+    cfg_wide = MistralConfig.tiny()
+    cfg_wide.sliding_window = None
+    model.model.cfg = cfg_wide
+    full_wide = np.asarray(model(x))
+    model.model.cfg = cfg
+    assert np.abs(full_wide[:, -1] - full[:, -1]).max() > 1e-6
+    dm = DmxModel.from_raw(model)
+    dm.to_basic_mode()
+    q = np.asarray(dm(x))
+    assert np.isfinite(q).all()
+    assert any("apply_rope" in n for n, _ in dm.named_dmx_modules())
+
+
+def test_mistral_cached_decode_matches_full():
+    from dmx_compressor_tpu.models.mistral import MistralConfig, MistralForCausalLM
+
+    cfg = MistralConfig.tiny()
+    model = MistralForCausalLM(cfg, rngs=nnx.Rngs(0))
+    x = ids(2, 6, cfg.vocab_size)
+    full = np.asarray(model(x))
+    caches = model.init_cache(2, 8)
+    model(x[:, :5], caches=caches, position_offset=0)
+    step = model(x[:, 5:6], caches=caches, position_offset=5)
+    # cache is padded to 8 slots; decode row must match the full forward
+    np.testing.assert_allclose(np.asarray(step)[:, 0], full[:, 5], atol=2e-3)
+
+
+def test_mistral_checkpoint_import(tmp_path):
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    from dmx_compressor_tpu.models.mistral import MistralConfig, MistralForCausalLM
+    from dmx_compressor_tpu.modeling.hf import model_from_checkpoint
+
+    cfg = MistralConfig.tiny()
+    src = MistralForCausalLM(cfg, rngs=nnx.Rngs(3))
+    with open(os.path.join(tmp_path, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_type": "mistral",
+                "vocab_size": cfg.vocab_size,
+                "hidden_size": cfg.hidden_size,
+                "intermediate_size": cfg.intermediate_size,
+                "num_hidden_layers": cfg.num_hidden_layers,
+                "num_attention_heads": cfg.num_attention_heads,
+                "num_key_value_heads": cfg.num_key_value_heads,
+                "max_position_embeddings": cfg.max_position_embeddings,
+                "sliding_window": cfg.sliding_window,
+                "rms_norm_eps": cfg.rms_norm_eps,
+            },
+            f,
+        )
+    tensors = {"model.embed_tokens.weight": np.asarray(src.model.embed_tokens.embedding.value)}
+    for i, layer in enumerate(src.model.layers):
+        p = f"model.layers.{i}"
+        a, m = layer.self_attn, layer.mlp
+        for name, lin in [("self_attn.q_proj", a.q_proj), ("self_attn.k_proj", a.k_proj),
+                          ("self_attn.v_proj", a.v_proj), ("self_attn.o_proj", a.o_proj),
+                          ("mlp.gate_proj", m.gate_proj), ("mlp.up_proj", m.up_proj),
+                          ("mlp.down_proj", m.down_proj)]:
+            tensors[f"{p}.{name}.weight"] = np.asarray(lin.kernel.value.T)
+        tensors[f"{p}.input_layernorm.weight"] = np.asarray(layer.input_layernorm.weight.value)
+        tensors[f"{p}.post_attention_layernorm.weight"] = np.asarray(
+            layer.post_attention_layernorm.weight.value)
+    tensors["model.norm.weight"] = np.asarray(src.model.norm.weight.value)
+    tensors["lm_head.weight"] = np.asarray(src.lm_head.kernel.value.T)
+    save_file(tensors, os.path.join(tmp_path, "model.safetensors"))
+
+    loaded, missed = model_from_checkpoint(str(tmp_path))
+    assert missed == []
+    assert loaded.cfg.sliding_window == cfg.sliding_window
+    x = ids(2, 8, cfg.vocab_size)
+    np.testing.assert_allclose(
+        np.asarray(loaded(x)), np.asarray(src(x)), atol=1e-5
+    )
+
+
 def test_whisper_forward():
     from dmx_compressor_tpu.models.whisper import (
         WhisperConfig,
