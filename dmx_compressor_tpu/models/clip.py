@@ -212,6 +212,20 @@ class CLIPModel(nnx.Module):
         logits_per_text = scale * (txt @ img.T)
         return logits_per_text.T, logits_per_text  # (per_image, per_text)
 
+    def zero_shot_classify(self, pixel_values, class_text_ids):
+        """Zero-shot image classification: softmax over image-text cosine
+        similarity against one tokenized prompt per class (the reference's
+        CLIP benchmark task, examples/benchmarking/benchmark_clip.py).
+
+        ``class_text_ids`` [n_classes, T]; returns probabilities
+        [B, n_classes]."""
+        img = self.get_image_features(pixel_values)
+        txt = self.get_text_features(jnp.asarray(class_text_ids, jnp.int32))
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        logits = jnp.exp(self.logit_scale.value) * (img @ txt.T)
+        return jax.nn.softmax(logits, axis=-1)
+
     @staticmethod
     def hf_tensor_converter(tensors):
         """HF patch conv [out, in, k, k] -> im2col GEMM layout [out, in*k*k]."""

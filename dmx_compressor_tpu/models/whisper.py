@@ -249,6 +249,57 @@ class WhisperForConditionalGeneration(nnx.Module):
                            max_len, cfg.d_model // cfg.decoder_attention_heads,
                            dtype or cfg.dtype, quantized=quantized)
 
+    def generate(
+        self,
+        input_features,
+        decoder_start_ids,
+        max_new_tokens: int = 32,
+        eos_token_id: Optional[int] = None,
+        quantized_cache: bool = False,
+    ):
+        """Greedy transcription: encode once, then a device-side lax.scan
+        decode loop over the KV cache (the OPT scan machinery applied to the
+        encoder-decoder case; one host dispatch total — essential on
+        tunneled TPUs).  Returns [B, T0 + max_new_tokens] token ids; after
+        ``eos_token_id`` is emitted the row keeps repeating eos."""
+        from flax import nnx as _nnx
+
+        ids = jnp.asarray(decoder_start_ids, jnp.int32)
+        B, T0 = ids.shape
+        caches = self.init_cache(B, T0 + max_new_tokens, quantized=quantized_cache)
+        graphdef, state = _nnx.split((self, caches))
+
+        @jax.jit
+        def run(state, feats, ids):
+            mod, cs = _nnx.merge(graphdef, state)
+            enc = mod.encode(feats)
+            logits = mod.decode(ids, enc, caches=cs, position_offset=0)
+            _, state = _nnx.split((mod, cs))
+            tok = jnp.argmax(logits[:, -1], axis=-1)
+            done = jnp.zeros((B,), bool)
+            if eos_token_id is not None:
+                done = tok == eos_token_id
+
+            def body(carry, i):
+                state, tok, done = carry
+                mod, cs = _nnx.merge(graphdef, state)
+                lg = mod.decode(tok[:, None], enc, caches=cs,
+                                position_offset=T0 + i)
+                _, s2 = _nnx.split((mod, cs))
+                nxt = jnp.argmax(lg[:, -1], axis=-1)
+                if eos_token_id is not None:
+                    nxt = jnp.where(done, eos_token_id, nxt)
+                    done = done | (nxt == eos_token_id)
+                return (s2, nxt, done), tok
+
+            (state, tok, done), toks = jax.lax.scan(
+                body, (state, tok, done), jnp.arange(max_new_tokens - 1)
+            )
+            return jnp.concatenate([toks.T, tok[:, None]], axis=1)
+
+        gen = run(state, jnp.asarray(input_features), ids)
+        return jnp.concatenate([ids, gen], axis=1)
+
     @staticmethod
     def hf_tensor_converter(tensors):
         """HF conv weights [out, in, k] -> unfold GEMM layout [out, in*k]."""
