@@ -246,6 +246,116 @@ def do_forward_on(
 
 
 # ---------------------------------------------------------------------------
+# task evaluation beyond perplexity (reference hf.py:143-217)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_answer(s: str) -> str:
+    """SQuAD answer normalization: lowercase, strip punctuation/articles/
+    extra whitespace (the convention behind HF's question-answering
+    evaluator metrics)."""
+    import re
+    import string
+
+    s = s.lower()
+    s = "".join(ch for ch in s if ch not in set(string.punctuation))
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    return " ".join(s.split())
+
+
+def squad_em_f1(prediction: str, references: List[str]) -> Dict[str, float]:
+    """Exact-match and token-F1 of one prediction against reference answers."""
+    pred = _normalize_answer(prediction)
+    em, f1 = 0.0, 0.0
+    for ref in references:
+        gold = _normalize_answer(ref)
+        em = max(em, float(pred == gold))
+        p_toks, g_toks = pred.split(), gold.split()
+        if not p_toks or not g_toks:
+            f1 = max(f1, float(p_toks == g_toks))
+            continue
+        common: Dict[str, int] = {}
+        for t in p_toks:
+            common[t] = common.get(t, 0) + 1
+        overlap = sum(min(common.get(t, 0), g_toks.count(t)) for t in set(g_toks))
+        if overlap == 0:
+            continue
+        prec = overlap / len(p_toks)
+        rec = overlap / len(g_toks)
+        f1 = max(f1, 2 * prec * rec / (prec + rec))
+    return {"exact_match": em, "f1": f1}
+
+
+def eval_question_answering(
+    pipe: "Pipeline",
+    examples: List[Dict[str, Any]],
+    max_new_tokens: int = 24,
+    prompt_template: str = "Context: {context}\nQuestion: {question}\nAnswer:",
+) -> Dict[str, float]:
+    """Generative QA evaluation (reference eval_question_answering,
+    hf.py:143-161 — re-designed for zero egress: the reference delegates to
+    HF ``evaluator("question-answering")``, this build generates the answer
+    with the quantized model and scores SQuAD exact-match/F1 locally).
+
+    ``examples``: dicts with "context", "question", "answers" (list[str]).
+    """
+    assert pipe.tokenizer is not None, "QA evaluation needs a tokenizer"
+    em_sum = f1_sum = 0.0
+    for ex in examples:
+        prompt = prompt_template.format(**ex)
+        ids = pipe.tokenizer(prompt, return_tensors="np").input_ids
+        out = np.asarray(pipe.generate(ids, max_new_tokens=max_new_tokens))
+        answer = pipe.tokenizer.decode(out[0, ids.shape[1]:])
+        answer = answer.split("\n")[0]
+        scores = squad_em_f1(answer, ex["answers"])
+        em_sum += scores["exact_match"]
+        f1_sum += scores["f1"]
+    n = max(len(examples), 1)
+    return {"exact_match": em_sum / n, "f1": f1_sum / n, "n": float(n)}
+
+
+def eval_text_generation(
+    pipe: "Pipeline",
+    metric: str,
+    references: Optional[List[str]] = None,
+    dataset_ids: Optional[np.ndarray] = None,
+    **kwargs,
+) -> Dict[str, float]:
+    """Metric-driven text-generation evaluation (reference
+    eval_text_generation, hf.py:164-185).  "perplexity"/"dmx_perplexity"
+    (and the reference's hub id "d-matrix/dmx_perplexity") compute locally;
+    any other name goes through ``evaluate.load`` when the optional
+    ``evaluate`` package is importable, mirroring the reference's metric
+    dispatch."""
+    if metric in ("perplexity", "dmx_perplexity", "d-matrix/dmx_perplexity"):
+        if dataset_ids is None:
+            assert references is not None and pipe.tokenizer is not None
+            text = "\n\n".join(references)
+            dataset_ids = pipe.tokenizer(text, return_tensors="np").input_ids
+        return pipe.do_forward_on(dataset_ids, **kwargs)
+    try:
+        import evaluate  # optional; absent in zero-egress environments
+    except ImportError as e:
+        raise NotImplementedError(
+            f"metric {metric!r} needs the optional `evaluate` package"
+        ) from e
+    m = evaluate.load(metric, module_type="metric")
+    return m.compute(model=pipe.raw_model, references=references, **kwargs)
+
+
+def pipe_eval(pipe: "Pipeline", task: str, **kwargs) -> Dict[str, float]:
+    """Task-dispatching evaluation entry (reference pipe_eval,
+    hf.py:188-217)."""
+    mapping = {
+        "text-generation": eval_text_generation,
+        "question-answering": eval_question_answering,
+    }
+    if task not in mapping:
+        raise ValueError(f"Unsupported task type '{task}'.")
+    return mapping[task](pipe, **kwargs)
+
+
+# ---------------------------------------------------------------------------
 # pipeline (reference hf.py:314-361)
 # ---------------------------------------------------------------------------
 
@@ -316,9 +426,26 @@ class Pipeline:
     def do_forward_on(self, input_ids, **kwargs):
         return do_forward_on(self.raw_model, input_ids, **kwargs)
 
-    def generate(self, input_ids, max_new_tokens: int = 16, quantized_cache: bool = False):
-        """Greedy generation: prefill + device-side lax.scan decode loop
-        (one host dispatch total — essential on tunneled TPUs)."""
+    def evaluate_task(self, task: str, **kwargs) -> Dict[str, float]:
+        """Task evaluation beyond perplexity (reference pipe_eval /
+        evaluator wiring, hf.py:143-217): "question-answering" scores
+        generative answers with SQuAD EM/F1; "text-generation" dispatches
+        on the metric name."""
+        return pipe_eval(self, task, **kwargs)
+
+    def generate(
+        self,
+        input_ids,
+        max_new_tokens: int = 16,
+        quantized_cache: bool = False,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        seed: int = 0,
+    ):
+        """Generation: prefill + device-side lax.scan decode loop (one host
+        dispatch total — essential on tunneled TPUs).  ``temperature == 0``
+        is greedy; otherwise softmax sampling, optionally truncated to the
+        ``top_k`` highest-probability tokens."""
         ids = jnp.asarray(input_ids, jnp.int32)
         B, T = ids.shape
         caches = self.raw_model.init_cache(
@@ -326,28 +453,57 @@ class Pipeline:
         )
         graphdef, state = nnx.split((self.raw_model, caches))
 
+        def pick(logits, key):
+            if temperature <= 0.0:
+                return jnp.argmax(logits, axis=-1)
+            lg = logits.astype(jnp.float32) / temperature
+            if top_k is not None:
+                kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
+                lg = jnp.where(lg < kth, -jnp.inf, lg)
+            return jax.random.categorical(key, lg, axis=-1)
+
         @jax.jit
-        def run(state, ids):
+        def run(state, ids, key):
             mod, cs = nnx.merge(graphdef, state)
             logits = mod(ids, caches=cs, position_offset=0)
             _, state = nnx.split((mod, cs))
-            tok = jnp.argmax(logits[:, -1], axis=-1)
+            key, sub = jax.random.split(key)
+            tok = pick(logits[:, -1], sub)
 
             def body(carry, i):
-                state, tok = carry
+                state, tok, key = carry
                 mod, cs = nnx.merge(graphdef, state)
                 lg = mod(tok[:, None], caches=cs, position_offset=T + i)
                 _, s2 = nnx.split((mod, cs))
-                nxt = jnp.argmax(lg[:, -1], axis=-1)
-                return (s2, nxt), tok
+                key, sub = jax.random.split(key)
+                nxt = pick(lg[:, -1], sub)
+                return (s2, nxt, key), tok
 
-            (state, tok), toks = jax.lax.scan(
-                body, (state, tok), jnp.arange(max_new_tokens - 1)
+            (state, tok, key), toks = jax.lax.scan(
+                body, (state, tok, key), jnp.arange(max_new_tokens - 1)
             )
             return jnp.concatenate([toks.T, tok[:, None]], axis=1)
 
-        gen = run(state, ids)
+        gen = run(state, ids, jax.random.key(seed))
         return jnp.concatenate([ids, gen], axis=1)
+
+    def generate_batch(
+        self,
+        prompts: List[np.ndarray],
+        pad_id: int = 0,
+        **kwargs,
+    ):
+        """Batch ragged prompts: left-pad to a common length (so the last
+        prompt token sits at the shared prefill boundary) and generate;
+        returns the [B, T_max + max_new_tokens] ids and the per-row prompt
+        lengths."""
+        lens = [int(np.asarray(p).reshape(-1).shape[0]) for p in prompts]
+        T = max(lens)
+        batch = np.full((len(prompts), T), pad_id, np.int32)
+        for i, p in enumerate(prompts):
+            arr = np.asarray(p, np.int32).reshape(-1)
+            batch[i, T - arr.shape[0]:] = arr
+        return self.generate(jnp.asarray(batch), **kwargs), lens
 
     def __call__(self, text_or_ids, **kwargs):
         if isinstance(text_or_ids, str):

@@ -122,3 +122,74 @@ def test_basic_perplexity_close_to_fp32(tmp_path):
     dm.to_basic_mode()
     ppl_basic = do_forward_on(model, stream, max_length=32)["perplexity"]
     assert abs(np.log(ppl_basic) - np.log(ppl_fp32)) < 0.1
+
+
+class _EchoTokenizer:
+    """Deterministic offline tokenizer for task-eval tests: maps each
+    character to an id and back."""
+
+    def __call__(self, text, return_tensors=None):
+        import types
+
+        ids = np.asarray([[min(ord(c), 511) for c in text[:64]]], np.int64)
+        return types.SimpleNamespace(input_ids=ids)
+
+    def decode(self, ids):
+        return "".join(chr(int(i) % 128) for i in np.asarray(ids).reshape(-1))
+
+
+def test_task_evaluation_beyond_perplexity(tmp_path):
+    """QA EM/F1 + metric-dispatching text-generation eval (reference
+    hf.py:143-217; VERDICT r1 missing #6)."""
+    from dmx_compressor_tpu.modeling.hf import pipeline, squad_em_f1
+
+    # metric math matches the SQuAD convention
+    s = squad_em_f1("The Cat!", ["the cat", "a dog"])
+    assert s == {"exact_match": 1.0, "f1": 1.0}
+    s = squad_em_f1("black cat", ["the cat sat"])
+    assert s["exact_match"] == 0.0 and 0 < s["f1"] < 1
+
+    _write_opt_checkpoint(str(tmp_path))
+    pipe = pipeline("text-generation", str(tmp_path), dmx_config="BASIC")
+    pipe.tokenizer = _EchoTokenizer()
+
+    out = pipe.evaluate_task(
+        "question-answering",
+        examples=[
+            {"context": "ab", "question": "cd", "answers": ["xyz"]},
+            {"context": "ef", "question": "gh", "answers": ["qrs"]},
+        ],
+        max_new_tokens=4,
+    )
+    assert set(out) == {"exact_match", "f1", "n"} and out["n"] == 2.0
+    assert 0.0 <= out["exact_match"] <= 1.0
+
+    ppl = pipe.evaluate_task(
+        "text-generation", metric="d-matrix/dmx_perplexity",
+        references=["hello world", "quant it"], max_length=16,
+    )
+    assert np.isfinite(ppl["perplexity"])
+
+    with pytest.raises(ValueError):
+        pipe.evaluate_task("image-segmentation")
+
+
+def test_generate_sampling_and_batching(tmp_path):
+    from dmx_compressor_tpu.modeling.hf import pipeline
+
+    _write_opt_checkpoint(str(tmp_path))
+    pipe = pipeline("text-generation", str(tmp_path))
+    ids = jnp.asarray(RNG.integers(0, 512, (1, 4)), jnp.int32)
+    greedy = np.asarray(pipe.generate(ids, max_new_tokens=6))
+    greedy2 = np.asarray(pipe.generate(ids, max_new_tokens=6))
+    np.testing.assert_array_equal(greedy, greedy2)  # deterministic
+    s1 = np.asarray(pipe.generate(ids, max_new_tokens=6, temperature=1.0, seed=1))
+    s2 = np.asarray(pipe.generate(ids, max_new_tokens=6, temperature=1.0, seed=1))
+    np.testing.assert_array_equal(s1, s2)  # seeded sampling reproducible
+    s3 = np.asarray(pipe.generate(ids, max_new_tokens=6, temperature=1.0,
+                                  top_k=5, seed=2))
+    assert s3.shape == (1, 10)
+
+    prompts = [RNG.integers(0, 512, (3,)), RNG.integers(0, 512, (5,))]
+    out, lens = pipe.generate_batch(prompts, max_new_tokens=4)
+    assert np.asarray(out).shape == (2, 9) and lens == [3, 5]
