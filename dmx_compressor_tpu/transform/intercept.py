@@ -1,0 +1,220 @@
+"""Jaxpr-level fake-quant interception for arbitrary (un-authored) models.
+
+The reference catches *functional* ops — bare ``torch.matmul``, ``+``,
+``F.softmax`` — by fx-tracing any torch model and splicing DmxModules into
+the graph (reference fx/tracer.py:27-173, fx/transformer/
+dmx_aware_transformer.py).  This build's module-tree substitution
+(transform/substitute.py) covers models authored with nnx/rawnn modules;
+this module removes the authorship requirement for pure-jax code the same
+way the reference removes it for raw torch code: trace the function to a
+jaxpr once, then re-evaluate it with fake-quant casts applied around the
+intercepted primitives.
+
+    qfn, sites = intercept(fn, example_args, rules=InterceptRules(...))
+    y = qfn(*args)          # same function, BASIC numerics at every matmul
+
+``sites`` lists every intercepted primitive (path-like ids in call order),
+so configs can address individual sites; per-site overrides replace the
+default rule.  The transform is jit-compatible (the interpreter runs at
+trace time) and composes with the module-level substitution — use it for
+third-party jax functions that cannot be rewritten against the zoo.
+
+Interception points (mirroring the reference's functional substitution
+table, fx/transformer/utils.py:53-66):
+
+- ``dot_general``      -> input/multiplier casts + output cast (ActActMatMul
+                          contract: blocks along -1 / -2)
+- ``add`` (rank >= 1)  -> ResAdd contract: both inputs + output cast
+- ``mul`` (rank >= 1)  -> Mul contract
+- ``exp``              -> Exp contract (io casts)
+- ``custom_jvp_call`` of softmax is visible as exp/sum chains and is
+  covered by those primitives' casts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.extend import core
+
+from ..numerics.format import Format, Same
+
+
+@dataclasses.dataclass(frozen=True)
+class SiteRule:
+    """Cast formats for one interception site (shorthand strings)."""
+
+    input_format: str = "SAME"
+    multiplier_format: str = "SAME"  # 2nd operand (dot/mul/add residual)
+    output_format: str = "SAME"
+    input_block_dim: int = -1
+    multiplier_block_dim: int = -2
+
+
+@dataclasses.dataclass
+class InterceptRules:
+    """Which primitives to intercept and with what formats.  ``overrides``
+    maps site ids (as returned in ``sites``) to per-site rules."""
+
+    dot: Optional[SiteRule] = None
+    add: Optional[SiteRule] = None
+    mul: Optional[SiteRule] = None
+    exp: Optional[SiteRule] = None
+    overrides: Dict[str, SiteRule] = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def basic(cls) -> "InterceptRules":
+        """The BASIC functional-op contract (reference config_rules.BASIC on
+        ActActMatMul / ResAdd / Mul / Exp)."""
+        return cls(
+            dot=SiteRule("BFP[8|8]{64}(SN)", "BFP[8|8]{64}(SN)",
+                         "FP[1|5|10,15](FN)"),
+            add=SiteRule("FP[1|5|10,15](FN)", "FP[1|5|10,15](FN)",
+                         "FP[1|5|10,15](FN)"),
+        )
+
+
+def _cast(x, shorthand: str, block_dim: int):
+    fmt = Format.from_shorthand(shorthand)
+    if isinstance(fmt, Same) or not hasattr(x, "ndim") or x.ndim == 0:
+        return x
+    if getattr(fmt, "blocked", False) and x.shape[block_dim] % fmt.block_size:
+        return x  # remainder-less fast path only; odd tails stay uncast
+    return fmt.cast(x, block_dim)
+
+
+_INTERCEPTED = {
+    "dot_general": "dot",
+    "add": "add",
+    "mul": "mul",
+    "exp": "exp",
+}
+
+
+def _is_site(eqn, kind) -> bool:
+    """add/mul only count as sites when both operands are non-scalar tensors
+    (the reference substitutes ``+``/``*`` only when both args are Tensors,
+    dmx_aware_transformer.py:160-175)."""
+    if kind not in ("add", "mul"):
+        return True
+    return all(
+        getattr(getattr(v, "aval", None), "ndim", 0) >= 1 for v in eqn.invars
+    )
+
+
+def intercept(
+    fn: Callable,
+    example_args: Sequence[Any],
+    rules: Optional[InterceptRules] = None,
+) -> Tuple[Callable, List[str]]:
+    """Return ``(quantized_fn, site_ids)`` for an arbitrary jax function.
+
+    ``quantized_fn`` re-evaluates ``fn``'s jaxpr with the rules' casts
+    wrapped around every intercepted primitive; ``site_ids`` names the
+    sites (``"<prim>_<index>"`` in trace order) for per-site overrides.
+    Shapes are fixed by ``example_args`` (retrace per shape, like any
+    jaxpr-level tool).
+    """
+    rules = rules or InterceptRules.basic()
+    closed = jax.make_jaxpr(fn)(*example_args)
+    flat_example, in_tree = jax.tree_util.tree_flatten(tuple(example_args))
+
+    def _inner_closed(eqn):
+        """The nested jaxpr of a call-like equation (pjit / remat /
+        custom_jvp / custom_vjp / closed_call), or None."""
+        for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+            inner = eqn.params.get(key)
+            if inner is None:
+                continue
+            if isinstance(inner, core.ClosedJaxpr):
+                return inner
+            if isinstance(inner, core.Jaxpr):
+                return core.ClosedJaxpr(inner, ())
+        return None
+
+    def _walk_sites(jaxpr, counters, sites):
+        for eqn in jaxpr.eqns:
+            inner = _inner_closed(eqn)
+            if inner is not None:
+                _walk_sites(inner.jaxpr, counters, sites)
+                continue
+            kind = _INTERCEPTED.get(eqn.primitive.name)
+            if (
+                kind is not None
+                and getattr(rules, kind) is not None
+                and _is_site(eqn, kind)
+            ):
+                i = counters.get(kind, 0)
+                counters[kind] = i + 1
+                sites.append(f"{kind}_{i}")
+
+    sites: List[str] = []
+    _walk_sites(closed.jaxpr, {}, sites)
+
+    def run(jaxpr, consts, args, counts):
+        env: Dict[core.Var, Any] = {}
+
+        def read(v):
+            return v.val if isinstance(v, core.Literal) else env[v]
+
+        def write(v, val):
+            env[v] = val
+
+        for v, c in zip(jaxpr.constvars, consts):
+            write(v, c)
+        for v, a in zip(jaxpr.invars, args):
+            write(v, a)
+
+        for eqn in jaxpr.eqns:
+            invals = [read(v) for v in eqn.invars]
+            inner = _inner_closed(eqn)
+            if inner is not None:
+                # re-interpret nested computations (pjit wraps most real
+                # code; the shared counter keeps site ids stable)
+                outvals = run(inner.jaxpr, inner.consts, invals, counts)
+                for v, o in zip(eqn.outvars, outvals):
+                    write(v, o)
+                continue
+            kind = _INTERCEPTED.get(eqn.primitive.name)
+            rule = getattr(rules, kind) if kind is not None else None
+            if rule is not None and not _is_site(eqn, kind):
+                rule = None
+            if rule is not None:
+                i = counts.get(kind, 0)
+                counts[kind] = i + 1
+                rule = rules.overrides.get(f"{kind}_{i}", rule)
+                a = _cast(invals[0], rule.input_format, rule.input_block_dim)
+                bdim = (
+                    rule.multiplier_block_dim
+                    if kind == "dot"
+                    else rule.input_block_dim
+                )
+                b = (
+                    _cast(invals[1], rule.multiplier_format, bdim)
+                    if len(invals) > 1
+                    else None
+                )
+                invals = [a] + ([b] + invals[2:] if b is not None else invals[1:])
+            outvals = eqn.primitive.bind(*invals, **eqn.params)
+            if not eqn.primitive.multiple_results:
+                outvals = [outvals]
+            if rule is not None:
+                outvals = [
+                    _cast(o, rule.output_format, -1) for o in outvals
+                ]
+            for v, o in zip(eqn.outvars, outvals):
+                write(v, o)
+        return [read(v) for v in jaxpr.outvars]
+
+    out_tree = jax.tree_util.tree_structure(fn(*example_args))
+
+    def quantized_fn(*args):
+        flat, tree = jax.tree_util.tree_flatten(tuple(args))
+        assert tree == in_tree, "argument structure must match example_args"
+        outs = run(closed.jaxpr, closed.consts, flat, {})
+        return jax.tree_util.tree_unflatten(out_tree, outs)
+
+    return quantized_fn, sites

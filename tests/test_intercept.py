@@ -1,0 +1,185 @@
+"""Jaxpr-level fake-quant interception of arbitrary (un-authored) jax
+functions — the TPU-native answer to the reference's fx functional-op
+substitution (reference fx/transformer/utils.py:53-66,
+fx/transformer/dmx_aware_transformer.py:134-274)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmx_compressor_tpu.numerics.format import Format
+from dmx_compressor_tpu.transform.intercept import (
+    InterceptRules,
+    SiteRule,
+    intercept,
+)
+
+BFP16 = "BFP[8|8]{64}(SN)"
+FP16 = "FP[1|5|10,15](FN)"
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape), jnp.float32)
+
+
+def _mlp(x, w1, w2):
+    h = x @ w1
+    h = jax.nn.relu(h)
+    h = h @ w2
+    return h + x
+
+
+class TestSiteEnumeration:
+    def test_sites_in_trace_order(self):
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        _, sites = intercept(_mlp, (x, w1, w2))
+        assert sites == ["dot_0", "dot_1", "add_0"]
+
+    def test_disabled_kinds_not_enumerated(self):
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        _, sites = intercept(
+            _mlp, (x, w1, w2), rules=InterceptRules(dot=SiteRule())
+        )
+        assert sites == ["dot_0", "dot_1"]
+
+    def test_scalar_operand_adds_muls_not_sites(self):
+        # tensor(+|*)scalar are not substitution sites — matches the
+        # reference's both-args-Tensors rule; tensor-tensor ones still are
+        def fn(x, w):
+            h = (x @ w) * 0.5  # scalar mul: excluded
+            h = h + 1.0  # scalar add: excluded
+            return (h * x) + x  # tensor-tensor: sites
+
+        x, w = _rand((2, 128), 0), _rand((128, 128), 1)
+        _, sites = intercept(
+            fn,
+            (x, w),
+            rules=InterceptRules(
+                dot=SiteRule(), add=SiteRule(), mul=SiteRule()
+            ),
+        )
+        assert sites == ["dot_0", "mul_0", "add_0"]
+
+    def test_nested_jit_recursed(self):
+        # pjit wraps most real code; sites must be found inside it
+        inner = jax.jit(lambda x, w: x @ w)
+
+        def fn(x, w):
+            return inner(x, w) + x
+
+        x, w = _rand((4, 64), 0), _rand((64, 64), 1)
+        _, sites = intercept(fn, (x, w))
+        assert sites == ["dot_0", "add_0"]
+
+
+class TestNumerics:
+    def test_identity_rules_exact(self):
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        qfn, _ = intercept(
+            _mlp,
+            (x, w1, w2),
+            rules=InterceptRules(dot=SiteRule(), add=SiteRule()),
+        )
+        assert jnp.array_equal(qfn(x, w1, w2), _mlp(x, w1, w2))
+
+    def test_basic_dot_matches_manual_casts(self):
+        # BASIC ActActMatMul contract: input blocked along -1, multiplier
+        # along -2, FLOAT16 output (reference config_rules.BASIC)
+        def fn(x, w):
+            return x @ w
+
+        x, w = _rand((8, 128), 3), _rand((128, 64), 4)
+        qfn, sites = intercept(
+            fn, (x, w), rules=InterceptRules(dot=SiteRule(BFP16, BFP16, FP16))
+        )
+        assert sites == ["dot_0"]
+        bfp = Format.from_shorthand(BFP16)
+        fp16 = Format.from_shorthand(FP16)
+        want = fp16.cast(bfp.cast(x, -1) @ bfp.cast(w, -2), -1)
+        got = qfn(x, w)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_basic_changes_values_but_stays_close(self):
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        qfn, _ = intercept(_mlp, (x, w1, w2))  # default = BASIC rules
+        exact = _mlp(x, w1, w2)
+        quant = qfn(x, w1, w2)
+        # pre-activation magnitudes are ~sqrt(64); BFP8 block quant error is
+        # a small fraction of that
+        diff = float(jnp.abs(exact - quant).max())
+        assert 0.0 < diff < 0.1 * float(jnp.abs(exact).max())
+
+    def test_per_site_override(self):
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        rules = InterceptRules(
+            dot=SiteRule(BFP16, BFP16, FP16),
+            overrides={
+                "dot_0": SiteRule(),
+                "dot_1": SiteRule(),
+            },
+        )
+        qfn, _ = intercept(_mlp, (x, w1, w2), rules=rules)
+        assert jnp.array_equal(qfn(x, w1, w2), _mlp(x, w1, w2))
+
+    def test_remainder_blocks_left_uncast(self):
+        # 100 % 64 != 0 -> the blocked cast is skipped rather than wrong
+        def fn(x, w):
+            return x @ w
+
+        x, w = _rand((4, 100), 5), _rand((100, 64), 6)
+        qfn, _ = intercept(
+            fn, (x, w), rules=InterceptRules(dot=SiteRule(BFP16, BFP16))
+        )
+        bfp = Format.from_shorthand(BFP16)
+        # x's -1 dim (100) skips; w's -2 dim (100) skips too
+        np.testing.assert_array_equal(
+            np.asarray(qfn(x, w)), np.asarray(x @ w)
+        )
+        del bfp
+
+
+class TestComposition:
+    def test_jit_compatible(self):
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        qfn, _ = intercept(_mlp, (x, w1, w2))
+        eager = qfn(x, w1, w2)
+        jitted = jax.jit(qfn)(x, w1, w2)
+        np.testing.assert_allclose(
+            np.asarray(jitted), np.asarray(eager), rtol=1e-6, atol=1e-6
+        )
+
+    def test_pytree_args_and_outputs(self):
+        def fn(params, x):
+            h = x @ params["w1"]
+            return {"out": h @ params["w2"], "skip": x}
+
+        params = {"w1": _rand((64, 64), 1), "w2": _rand((64, 64), 2)}
+        x = _rand((4, 64), 0)
+        qfn, sites = intercept(fn, (params, x))
+        assert sites == ["dot_0", "dot_1"]
+        out = qfn(params, x)
+        assert set(out) == {"out", "skip"}
+        assert jnp.array_equal(out["skip"], x)
+
+    def test_argument_structure_enforced(self):
+        def fn(x, w):
+            return x @ w
+
+        x, w = _rand((4, 64), 0), _rand((64, 64), 1)
+        qfn, _ = intercept(fn, (x, w))
+        with pytest.raises(AssertionError):
+            qfn({"bad": x}, w)
+
+    def test_exp_interception(self):
+        def fn(x):
+            return jnp.exp(x)
+
+        x = _rand((4, 64), 7)
+        qfn, sites = intercept(
+            fn, (x,), rules=InterceptRules(exp=SiteRule(FP16, FP16, FP16))
+        )
+        assert sites == ["exp_0"]
+        fp16 = Format.from_shorthand(FP16)
+        want = fp16.cast(jnp.exp(fp16.cast(x, -1)), -1)
+        np.testing.assert_array_equal(np.asarray(qfn(x)), np.asarray(want))
