@@ -152,6 +152,16 @@ def model_from_checkpoint(path: str, *, dtype=jnp.float32):
 
         cfg = MistralConfig.from_hf(cfg_json)
         model = MistralForCausalLM(cfg, rngs=nnx.Rngs(0))
+    elif model_type == "gemma":
+        from ..models.gemma import GemmaConfig, GemmaForCausalLM
+
+        cfg = GemmaConfig.from_hf(cfg_json)
+        model = GemmaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    elif model_type == "qwen3":
+        from ..models.qwen3 import Qwen3Config, Qwen3ForCausalLM
+
+        cfg = Qwen3Config.from_hf(cfg_json)
+        model = Qwen3ForCausalLM(cfg, rngs=nnx.Rngs(0))
     elif model_type == "whisper":
         from ..models.whisper import WhisperConfig, WhisperForConditionalGeneration
 

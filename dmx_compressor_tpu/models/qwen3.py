@@ -1,0 +1,204 @@
+"""Qwen3-family decoder: Llama topology + per-head q/k RMSNorm.
+
+Covers the reference's Qwen3 substitution surface (reference
+fx/transformer/utils.py:30-51 maps Qwen3RMSNorm / Qwen3RotaryEmbedding into
+the dmx module zoo) as an authored zoo model.  Qwen3 differs from Llama by:
+
+- ``q_norm`` / ``k_norm`` — RMSNorm over ``head_dim`` applied to the
+  reshaped per-head q/k *before* RoPE (HF modeling_qwen3.Qwen3Attention);
+- an explicit ``head_dim`` decoupled from ``hidden_size / num_heads``;
+- optional per-layer sliding-window attention (``layer_types``); this build
+  applies the banded mask globally when ``sliding_window`` is set, like the
+  Mistral model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from .. import rawnn
+from ..ops.kv_cache import KVCache, make_caches, quantized_sdpa
+from .llama import LlamaMLP
+
+
+@dataclasses.dataclass
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden_size: int = 4096
+    intermediate_size: int = 12288
+    num_hidden_layers: int = 36
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    max_position_embeddings: int = 40960
+    sliding_window: Optional[int] = None
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_hf(cls, j):
+        return cls(
+            vocab_size=j["vocab_size"],
+            hidden_size=j["hidden_size"],
+            intermediate_size=j["intermediate_size"],
+            num_hidden_layers=j["num_hidden_layers"],
+            num_attention_heads=j["num_attention_heads"],
+            num_key_value_heads=j.get("num_key_value_heads", 8),
+            head_dim=j.get(
+                "head_dim", j["hidden_size"] // j["num_attention_heads"]
+            ),
+            max_position_embeddings=j.get("max_position_embeddings", 40960),
+            sliding_window=(
+                j.get("sliding_window") if j.get("use_sliding_window") else None
+            ),
+            rms_norm_eps=j.get("rms_norm_eps", 1e-6),
+            rope_theta=j.get("rope_theta", 1000000.0),
+            tie_word_embeddings=j.get("tie_word_embeddings", False),
+        )
+
+    @classmethod
+    def tiny(cls):
+        return cls(
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=32,  # decoupled from hidden/heads (= 16) on purpose
+            max_position_embeddings=64,
+            tie_word_embeddings=True,
+        )
+
+
+class Qwen3Attention(nnx.Module):
+    def __init__(self, cfg: Qwen3Config, *, rngs: nnx.Rngs):
+        d = cfg.hidden_size
+        self.num_heads = cfg.num_attention_heads
+        self.num_kv_heads = cfg.num_key_value_heads
+        self.head_dim = cfg.head_dim
+        q_dim = self.num_heads * self.head_dim
+        kv_dim = self.num_kv_heads * self.head_dim
+        self.q_proj = nnx.Linear(d, q_dim, use_bias=False, rngs=rngs)
+        self.k_proj = nnx.Linear(d, kv_dim, use_bias=False, rngs=rngs)
+        self.v_proj = nnx.Linear(d, kv_dim, use_bias=False, rngs=rngs)
+        self.o_proj = nnx.Linear(q_dim, d, use_bias=False, rngs=rngs)
+        # per-head-dim norms, applied pre-RoPE (HF: "only on the head dim!")
+        self.q_norm = rawnn.RMSNorm(self.head_dim, eps=cfg.rms_norm_eps)
+        self.k_norm = rawnn.RMSNorm(self.head_dim, eps=cfg.rms_norm_eps)
+        self.apply_rope = rawnn.ApplyRotaryPosEmb()
+        self.sdpa = rawnn.ScaledDotProductAttention()
+
+    def _split(self, x, heads):
+        B, T, _ = x.shape
+        return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
+
+    def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None):
+        B, T, _ = x.shape
+        q = self.q_norm(
+            self.q_proj(x).reshape(B, T, self.num_heads, self.head_dim)
+        ).transpose(0, 2, 1, 3)
+        k = self.k_norm(
+            self.k_proj(x).reshape(B, T, self.num_kv_heads, self.head_dim)
+        ).transpose(0, 2, 1, 3)
+        v = self._split(self.v_proj(x), self.num_kv_heads)
+        q, k = self.apply_rope(q, k, cos, sin)
+        gqa = self.num_kv_heads != self.num_heads
+        if cache is not None and getattr(cache, "quantized", False):
+            kv = cache.update_quantized(k, v)
+            out = quantized_sdpa(q, kv, attn_mask=attn_mask, enable_gqa=gqa)
+        else:
+            if cache is not None:
+                k, v, _ = cache.update(k, v)
+            out = self.sdpa(q, k, v, attn_mask=attn_mask, enable_gqa=gqa)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.num_heads * self.head_dim)
+        return self.o_proj(out)
+
+
+class Qwen3DecoderLayer(nnx.Module):
+    def __init__(self, cfg: Qwen3Config, *, rngs: nnx.Rngs):
+        d = cfg.hidden_size
+        self.self_attn = Qwen3Attention(cfg, rngs=rngs)
+        self.mlp = LlamaMLP(cfg, rngs=rngs)  # same SiLU-gate MLP
+        self.input_layernorm = rawnn.RMSNorm(d, eps=cfg.rms_norm_eps)
+        self.post_attention_layernorm = rawnn.RMSNorm(d, eps=cfg.rms_norm_eps)
+        self.resadd1 = rawnn.ResAdd()
+        self.resadd2 = rawnn.ResAdd()
+
+    def __call__(self, x, cos, sin, attn_mask=None, cache=None):
+        x = self.resadd1(
+            self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache), x
+        )
+        x = self.resadd2(self.mlp(self.post_attention_layernorm(x)), x)
+        return x
+
+
+class Qwen3Model(nnx.Module):
+    def __init__(self, cfg: Qwen3Config, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.embed_tokens = nnx.Embed(cfg.vocab_size, cfg.hidden_size, rngs=rngs)
+        self.layers = nnx.data(
+            [Qwen3DecoderLayer(cfg, rngs=rngs) for _ in range(cfg.num_hidden_layers)]
+        )
+        self.norm = rawnn.RMSNorm(cfg.hidden_size, eps=cfg.rms_norm_eps)
+        self.rotary_emb = rawnn.RotaryEmbedding(
+            cfg.head_dim, cfg.max_position_embeddings, base=cfg.rope_theta
+        )
+
+    def _mask(self, T, S, position_offset, dtype):
+        qpos = (jnp.arange(T) + position_offset)[:, None]
+        kpos = jnp.arange(S)[None, :]
+        causal = kpos <= qpos
+        if self.cfg.sliding_window is not None:
+            causal = causal & (kpos > qpos - self.cfg.sliding_window)
+        return jnp.where(causal, 0.0, -1e4).astype(dtype)
+
+    def __call__(self, input_ids, caches=None, position_offset=0):
+        B, T = input_ids.shape
+        x = self.embed_tokens(input_ids)
+        pos = (jnp.arange(T) + position_offset)[None]
+        cos, sin = self.rotary_emb(x, pos)
+        S = caches[0].k.value.shape[2] if caches is not None else T
+        mask = self._mask(T, S, position_offset if caches is not None else 0, x.dtype)
+        for i, layer in enumerate(self.layers):
+            x = layer(x, cos, sin, attn_mask=mask,
+                      cache=None if caches is None else caches[i])
+        return self.norm(x)
+
+
+class Qwen3ForCausalLM(nnx.Module):
+    def __init__(self, cfg: Qwen3Config, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.model = Qwen3Model(cfg, rngs=rngs)
+        if cfg.tie_word_embeddings:
+            self.lm_head = rawnn.TiedLinear(self.model.embed_tokens)
+        else:
+            self.lm_head = nnx.Linear(
+                cfg.hidden_size, cfg.vocab_size, use_bias=False, rngs=rngs
+            )
+
+    @property
+    def config(self):
+        return self.cfg
+
+    def __call__(self, input_ids, caches=None, position_offset=0):
+        h = self.model(input_ids, caches=caches, position_offset=position_offset)
+        return self.lm_head(h)
+
+    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
+        cfg = self.cfg
+        return make_caches(
+            cfg.num_hidden_layers,
+            batch,
+            cfg.num_key_value_heads,
+            max_len,
+            cfg.head_dim,
+            dtype or cfg.dtype,
+            quantized=quantized,
+        )
