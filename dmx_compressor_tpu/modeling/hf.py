@@ -162,6 +162,11 @@ def model_from_checkpoint(path: str, *, dtype=jnp.float32):
 
         cfg = Qwen3Config.from_hf(cfg_json)
         model = Qwen3ForCausalLM(cfg, rngs=nnx.Rngs(0))
+    elif model_type == "t5":
+        from ..models.t5 import T5Config, T5ForConditionalGeneration
+
+        cfg = T5Config.from_hf(cfg_json)
+        model = T5ForConditionalGeneration(cfg, rngs=nnx.Rngs(0))
     elif model_type == "whisper":
         from ..models.whisper import WhisperConfig, WhisperForConditionalGeneration
 

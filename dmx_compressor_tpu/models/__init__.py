@@ -8,3 +8,4 @@ from .gpt2 import GPT2Config, GPT2LMHeadModel
 from .llama import LlamaConfig, LlamaForCausalLM
 from .gemma import GemmaConfig, GemmaForCausalLM
 from .qwen3 import Qwen3Config, Qwen3ForCausalLM
+from .t5 import T5Config, T5ForConditionalGeneration
