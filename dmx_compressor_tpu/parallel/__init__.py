@@ -6,3 +6,4 @@ from .mesh import (
     TRANSFORMER_RULES,
 )
 from .distributed import initialize, pod_mesh, host_local_batch
+from .pipeline import pipeline_forward, stack_layer_states
