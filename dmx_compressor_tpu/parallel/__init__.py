@@ -7,3 +7,4 @@ from .mesh import (
 )
 from .distributed import initialize, pod_mesh, host_local_batch
 from .pipeline import pipeline_forward, stack_layer_states
+from .sequence import ring_attention

@@ -313,3 +313,47 @@ def test_pipeline_quantized_decoder_layers():
         stacked, x, layer_apply, mesh, num_microbatches=4
     )
     np.testing.assert_allclose(np.asarray(y), ref, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# sequence parallelism (ring attention over the sp axis; SURVEY §2.10 row SP)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "shape,names,dp",
+    [((4,), ("sp",), None), ((8,), ("sp",), None), ((2, 4), ("dp", "sp"), "dp")],
+)
+def test_ring_attention_matches_exact_sdpa(causal, shape, names, dp):
+    from dmx_compressor_tpu.parallel.sequence import ring_attention
+    from dmx_compressor_tpu.rawnn import ScaledDotProductAttention
+
+    rs = np.random.RandomState(0)
+    B, H, S, D = 2, 4, 32, 16
+    q, k, v = (jnp.asarray(rs.randn(B, H, S, D), jnp.float32) for _ in range(3))
+    ref = ScaledDotProductAttention()(q, k, v, is_causal=causal)
+    mesh = make_mesh(shape, names)
+    y = ring_attention(q, k, v, mesh, causal=causal, dp_axis=dp)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-6)
+
+
+def test_ring_attention_gradients_match_exact():
+    from dmx_compressor_tpu.parallel.sequence import ring_attention
+    from dmx_compressor_tpu.rawnn import ScaledDotProductAttention
+
+    rs = np.random.RandomState(1)
+    B, H, S, D = 1, 2, 16, 8
+    q, k, v = (jnp.asarray(rs.randn(B, H, S, D), jnp.float32) for _ in range(3))
+    mesh = make_mesh((4,), ("sp",))
+
+    def loss_ring(args):
+        return jnp.sum(ring_attention(*args, mesh, causal=True) ** 2)
+
+    def loss_exact(args):
+        return jnp.sum(ScaledDotProductAttention()(*args, is_causal=True) ** 2)
+
+    g_ring = jax.grad(loss_ring)((q, k, v))
+    g_exact = jax.grad(loss_exact)((q, k, v))
+    for a, b in zip(g_ring, g_exact):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
