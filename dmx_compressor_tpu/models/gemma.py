@@ -89,13 +89,23 @@ class GemmaAttention(nnx.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
 
-    def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None):
+    def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None,
+                 causal_prefill: bool = False):
         B, T, _ = x.shape
         q = self._split(self.q_proj(x), self.num_heads)
         k = self._split(self.k_proj(x), self.num_kv_heads)
         v = self._split(self.v_proj(x), self.num_kv_heads)
         q, k = self.apply_rope(q, k, cos, sin)
         gqa = self.num_kv_heads != self.num_heads
+        if causal_prefill:
+            from ..ops.flash_attention import flash_prefill
+
+            out = flash_prefill(self.sdpa, q, k, v, cache=cache)
+            if out is not None:
+                out = out.transpose(0, 2, 1, 3).reshape(
+                    B, T, self.num_heads * self.head_dim
+                )
+                return self.o_proj(out)
         if cache is not None and getattr(cache, "quantized", False):
             kv = cache.update_quantized(k, v)
             out = quantized_sdpa(q, kv, attn_mask=attn_mask, enable_gqa=gqa)
@@ -130,9 +140,11 @@ class GemmaDecoderLayer(nnx.Module):
         self.resadd1 = rawnn.ResAdd()
         self.resadd2 = rawnn.ResAdd()
 
-    def __call__(self, x, cos, sin, attn_mask=None, cache=None):
+    def __call__(self, x, cos, sin, attn_mask=None, cache=None,
+                 causal_prefill: bool = False):
         x = self.resadd1(
-            self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache), x
+            self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,
+                           causal_prefill=causal_prefill), x
         )
         x = self.resadd2(self.mlp(self.post_attention_layernorm(x)), x)
         return x
@@ -168,9 +180,13 @@ class GemmaModel(nnx.Module):
             mask = jnp.where(
                 jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
             ).astype(x.dtype)
+        causal_prefill = (
+            T > 1 and isinstance(position_offset, int) and position_offset == 0
+        )
         for i, layer in enumerate(self.layers):
             x = layer(x, cos, sin, attn_mask=mask,
-                      cache=None if caches is None else caches[i])
+                      cache=None if caches is None else caches[i],
+                      causal_prefill=causal_prefill)
         return self.norm(x)
 
 

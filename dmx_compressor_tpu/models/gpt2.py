@@ -58,7 +58,8 @@ class GPT2Attention(nnx.Module):
         self.c_proj = nnx.Linear(d, d, rngs=rngs)
         self.sdpa = rawnn.ScaledDotProductAttention()
 
-    def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None):
+    def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None,
+                 causal_prefill: bool = False):
         B, T, D = x.shape
         qkv = self.c_attn(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -67,6 +68,12 @@ class GPT2Attention(nnx.Module):
             return t.reshape(B, T, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+        if causal_prefill:
+            from ..ops.flash_attention import flash_prefill
+
+            out = flash_prefill(self.sdpa, q, k, v, cache=cache)
+            if out is not None:
+                return self.c_proj(out.transpose(0, 2, 1, 3).reshape(B, T, D))
         if cache is not None and getattr(cache, "quantized", False):
             kv = cache.update_quantized(k, v)
             out = quantized_sdpa(q, kv, attn_mask=attn_mask)
@@ -97,8 +104,10 @@ class GPT2Block(nnx.Module):
         self.resadd1 = rawnn.ResAdd()
         self.resadd2 = rawnn.ResAdd()
 
-    def __call__(self, x, attn_mask=None, cache=None):
-        x = self.resadd1(self.attn(self.ln_1(x), attn_mask=attn_mask, cache=cache), x)
+    def __call__(self, x, attn_mask=None, cache=None, causal_prefill: bool = False):
+        x = self.resadd1(
+            self.attn(self.ln_1(x), attn_mask=attn_mask, cache=cache,
+                      causal_prefill=causal_prefill), x)
         x = self.resadd2(self.mlp(self.ln_2(x)), x)
         return x
 
@@ -126,8 +135,12 @@ class GPT2Model(nnx.Module):
             mask = jnp.where(
                 jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
             ).astype(x.dtype)
+        causal_prefill = (
+            T > 1 and isinstance(position_offset, int) and position_offset == 0
+        )
         for i, block in enumerate(self.h):
-            x = block(x, attn_mask=mask, cache=None if caches is None else caches[i])
+            x = block(x, attn_mask=mask, cache=None if caches is None else caches[i],
+                      causal_prefill=causal_prefill)
         return self.ln_f(x)
 
 

@@ -96,12 +96,20 @@ class WhisperAttention(nnx.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
-    def __call__(self, x, kv=None, attn_mask=None, cache: Optional[KVCache] = None):
+    def __call__(self, x, kv=None, attn_mask=None, cache: Optional[KVCache] = None,
+                 causal_prefill: bool = False):
         B, T, D = x.shape
         kv = x if kv is None else kv
         q = self._split(self.q_proj(x))
         k = self._split(self.k_proj(kv))
         v = self._split(self.v_proj(kv))
+        if causal_prefill:
+            from ..ops.flash_attention import flash_prefill
+
+            out = flash_prefill(self.sdpa, q, k, v, scale=self.scaling,
+                                cache=cache)
+            if out is not None:
+                return self.out_proj(out.transpose(0, 2, 1, 3).reshape(B, T, D))
         if cache is not None and getattr(cache, "quantized", False):
             kv = cache.update_quantized(k, v)
             out = quantized_sdpa(q, kv, attn_mask=attn_mask, scale=self.scaling)
@@ -147,9 +155,11 @@ class WhisperDecoderLayer(nnx.Module):
         self.resadd2 = rawnn.ResAdd()
         self.resadd3 = rawnn.ResAdd()
 
-    def __call__(self, x, enc, attn_mask=None, cache=None):
+    def __call__(self, x, enc, attn_mask=None, cache=None,
+                 causal_prefill: bool = False):
         x = self.resadd1(
-            self.self_attn(self.self_attn_layer_norm(x), attn_mask=attn_mask, cache=cache),
+            self.self_attn(self.self_attn_layer_norm(x), attn_mask=attn_mask,
+                           cache=cache, causal_prefill=causal_prefill),
             x,
         )
         x = self.resadd2(self.encoder_attn(self.encoder_attn_layer_norm(x), kv=enc), x)
@@ -209,9 +219,13 @@ class WhisperDecoder(nnx.Module):
             mask = jnp.where(
                 jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
             ).astype(x.dtype)
+        causal_prefill = (
+            T > 1 and isinstance(position_offset, int) and position_offset == 0
+        )
         for i, layer in enumerate(self.layers):
             x = layer(x, enc, attn_mask=mask,
-                      cache=None if caches is None else caches[i])
+                      cache=None if caches is None else caches[i],
+                      causal_prefill=causal_prefill)
         return self.layer_norm(x)
 
 

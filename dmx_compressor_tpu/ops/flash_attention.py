@@ -201,3 +201,65 @@ def flash_attention(
         offset=S - L, s_valid=S if padS else 0,
     )
     return out[:, :L].reshape(*lead, L, D)
+
+
+def sdpa_transparent(sdpa) -> bool:
+    """True when the sdpa module applies no fake-quant casts or surrogate
+    anywhere in its compound pipeline (weights-only serving / raw model) —
+    the flash/int8 kernels are then exact up to fp32 summation order.
+    Checks the decomposed sub-ops too: the compound module's own casts are
+    SAME even in BASIC mode, where the numerics live in actmatmul / resadd /
+    softmax (reference torch_modules.py:129-168)."""
+    from ..functional.approximate import NoApproximation
+    from ..numerics.format import Same
+
+    def module_transparent(m) -> bool:
+        casts = getattr(m, "input_casts", None)
+        if casts is None:
+            return True
+        ok = all(isinstance(casts[kk].format, Same) for kk in casts.keys())
+        outs = getattr(m, "output_casts", None)
+        if outs is not None:
+            ok = ok and all(
+                isinstance(outs[kk].format, Same) for kk in outs.keys()
+            )
+        apx = getattr(m, "approximator", None)
+        if apx is not None:
+            ok = ok and isinstance(apx.function, NoApproximation)
+        return ok
+
+    subs = [
+        getattr(sdpa, name)
+        for name in ("actmatmul", "resadd", "mul", "softmax", "dropout")
+        if getattr(sdpa, name, None) is not None
+    ]
+    return module_transparent(sdpa) and all(module_transparent(s) for s in subs)
+
+
+def flash_prefill(sdpa, q, k, v, *, scale=None, cache=None):
+    """Route a full causal prefill through the blockwise flash kernel —
+    O(T*D) memory instead of the [T, S_max] logits buffer — when ``sdpa``
+    is numerically transparent.  Returns the attention context, or ``None``
+    when routing does not apply (caller falls back to the masked sdpa).
+
+    Caller contract: q/k/v are the FRESH projections of a prefill starting
+    at position 0 under a plain causal structure (no sliding window / no
+    additive bias).  ``cache`` (optional) is filled with k/v as a side
+    effect.  GQA handled by head repetition before the kernel.
+    """
+    if q.shape[-2] <= 1 or not sdpa_transparent(sdpa):
+        return None
+    if cache is not None and getattr(cache, "quantized", False):
+        # the quantized-cache contract attends over DEQUANTIZED k/v even at
+        # prefill; flashing over the fresh fp values would change numerics
+        return None
+    if cache is not None:
+        if hasattr(cache, "write_base"):
+            cache.write_base(k, v)
+        else:
+            cache.update(k, v)
+    if k.shape[-3] != q.shape[-3]:
+        rep = q.shape[-3] // k.shape[-3]
+        k = jnp.repeat(k, rep, axis=-3)
+        v = jnp.repeat(v, rep, axis=-3)
+    return flash_attention(q, k, v, causal=True, scale=scale)

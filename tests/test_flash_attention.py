@@ -63,3 +63,59 @@ def test_flash_pallas_matches_ref_on_tpu(causal):
     # kernel matmuls run on the MXU's bf16 multiplier (standard attention
     # practice); the reference is fp32-exact
     np.testing.assert_allclose(got, want, atol=1e-2, rtol=2e-2)
+
+
+class TestFlashPrefillRouting:
+    """Roadmap §2c: flash prefill routing for every decoder family."""
+
+    def _check(self, model, x, atol=1e-5):
+        import jax.numpy as jnp
+
+        full = np.asarray(model(x))
+        # cached prefill: flash route fills the cache; decode must continue
+        # bit-consistently from it
+        caches = model.init_cache(x.shape[0], x.shape[1] + 1)
+        pre = np.asarray(model(x[:, :-1], caches=caches, position_offset=0))
+        np.testing.assert_allclose(pre, full[:, :-1], atol=atol)
+        step = np.asarray(
+            model(x[:, -1:], caches=caches, position_offset=x.shape[1] - 1)
+        )
+        np.testing.assert_allclose(step[:, 0], full[:, -1], atol=2e-3)
+
+    def test_llama_gqa(self):
+        from flax import nnx
+
+        from dmx_compressor_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig.tiny()
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        x = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 12)).astype("int32")
+        self._check(model, x)
+
+    def test_gpt2(self):
+        from flax import nnx
+
+        from dmx_compressor_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+
+        cfg = GPT2Config.tiny()
+        model = GPT2LMHeadModel(cfg, rngs=nnx.Rngs(0))
+        x = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 12)).astype("int32")
+        self._check(model, x)
+
+    def test_basic_mode_does_not_flash(self):
+        """Non-transparent SDPA (BASIC casts) must keep the masked fake-quant
+        path: BASIC logits unchanged by the routing addition."""
+        from flax import nnx
+
+        from dmx_compressor_tpu.modeling.model import DmxModel
+        from dmx_compressor_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+        from dmx_compressor_tpu.ops.flash_attention import sdpa_transparent
+
+        cfg = LlamaConfig.tiny()
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        dm = DmxModel.from_raw(model)
+        dm.to_basic_mode()
+        assert not sdpa_transparent(model.model.layers[0].self_attn.sdpa)
+        x = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 16)).astype("int32")
+        q = np.asarray(dm(x))
+        assert np.isfinite(q).all()
