@@ -122,6 +122,21 @@ class DmxModel:
 
     from_nnx = from_raw  # convenience alias
 
+    @staticmethod
+    def from_function(fn, example_args, rules=None):
+        """Fake-quantize an arbitrary (un-authored) jax function by jaxpr
+        interception — the functional analogue of ``from_raw`` for code
+        that cannot be rewritten against the module zoo (the reference
+        removes the same authorship requirement with fx tracing,
+        fx/tracer.py:27-173).  Returns a
+        :class:`~dmx_compressor_tpu.transform.intercept.QuantizedFunction`
+        whose ``sites`` list addresses every intercepted primitive and
+        whose ``configure({site: SiteRule})`` plays the role of config
+        rules."""
+        from ..transform.intercept import QuantizedFunction
+
+        return QuantizedFunction(fn, example_args, rules)
+
     # --------------------------------------------------------- delegation
 
     @property

@@ -5,4 +5,4 @@ from .substitute import (
     RAW_OP_MAPPING,
     default_mapping,
 )
-from .intercept import intercept, InterceptRules, SiteRule
+from .intercept import intercept, InterceptRules, SiteRule, QuantizedFunction

@@ -105,6 +105,36 @@ def _is_site(eqn, kind) -> bool:
     )
 
 
+class QuantizedFunction:
+    """A re-configurable fake-quantized view of an arbitrary jax function
+    (the functional analogue of ``DmxModel.from_raw``: ``sites`` play the
+    role of module names, ``configure`` the role of config rules)."""
+
+    def __init__(self, fn: Callable, example_args: Sequence[Any],
+                 rules: Optional["InterceptRules"] = None):
+        self._fn = fn
+        self._example_args = tuple(example_args)
+        self.rules = rules or InterceptRules.basic()
+        self._rebuild()
+
+    def _rebuild(self):
+        self._qfn, self.sites = intercept(
+            self._fn, self._example_args, self.rules
+        )
+
+    def configure(self, overrides: Dict[str, "SiteRule"]) -> "QuantizedFunction":
+        """Apply per-site rule overrides (keys from ``self.sites``)."""
+        unknown = set(overrides) - set(self.sites)
+        if unknown:
+            raise ValueError(f"unknown sites: {sorted(unknown)}")
+        self.rules.overrides.update(overrides)
+        self._rebuild()
+        return self
+
+    def __call__(self, *args):
+        return self._qfn(*args)
+
+
 def intercept(
     fn: Callable,
     example_args: Sequence[Any],

@@ -183,3 +183,26 @@ class TestComposition:
         fp16 = Format.from_shorthand(FP16)
         want = fp16.cast(jnp.exp(fp16.cast(x, -1)), -1)
         np.testing.assert_array_equal(np.asarray(qfn(x)), np.asarray(want))
+
+
+class TestQuantizedFunction:
+    def test_from_function_and_configure(self):
+        from dmx_compressor_tpu.modeling.model import DmxModel
+
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        qf = DmxModel.from_function(_mlp, (x, w1, w2))
+        assert qf.sites == ["dot_0", "dot_1", "add_0"]
+        quant = qf(x, w1, w2)
+        exact = _mlp(x, w1, w2)
+        assert float(jnp.abs(quant - exact).max()) > 0.0
+        # overriding every site to SAME restores exactness
+        qf.configure({s: SiteRule() for s in qf.sites})
+        assert jnp.array_equal(qf(x, w1, w2), exact)
+
+    def test_configure_rejects_unknown_site(self):
+        from dmx_compressor_tpu.modeling.model import DmxModel
+
+        x, w = _rand((4, 64), 0), _rand((64, 64), 1)
+        qf = DmxModel.from_function(lambda x, w: x @ w, (x, w))
+        with pytest.raises(ValueError, match="unknown sites"):
+            qf.configure({"dot_999": SiteRule()})
