@@ -6,3 +6,4 @@ from .substitute import (
     default_mapping,
 )
 from .intercept import intercept, InterceptRules, SiteRule, QuantizedFunction
+from .legacy import cast_input_output_transform, configure_graph, node_dict

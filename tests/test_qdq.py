@@ -253,3 +253,71 @@ def test_stablehlo_export():
     text = export_stablehlo(fn, state, jnp.ones((2, 64), jnp.float32))
     assert "stablehlo" in text or "module" in text
     assert "dot" in text  # the matmul survived lowering
+
+
+class TestLegacyFlatGraphTransformers:
+    """Legacy transformers over the DmxGraph IR (reference
+    input_output_transformer.py / configuration_transformer.py /
+    nodedict_transformer.py)."""
+
+    def _flat_graph(self):
+        import jax.numpy as jnp
+
+        from dmx_compressor_tpu.transform.qdq import DmxGraph
+
+        g = DmxGraph()
+        x = g.placeholder("x")
+        w = g.get_attr("weight")
+        y = g.call_function(jnp.matmul, (x, w), name="matmul")
+        g.output(y)
+        return g
+
+    def test_cast_input_output_transform_topology(self):
+        from dmx_compressor_tpu.transform.legacy import (
+            cast_input_output_transform,
+            node_dict,
+        )
+
+        g = cast_input_output_transform(
+            self._flat_graph(),
+            input_format="BFP[8|8]{64}(SN)",
+            output_format="FP[1|5|10,15](FN)",
+            weight_format="BFP[8|8]{64}(SN)",
+        )
+        nd = node_dict(g)
+        # placeholder feeds a quantize; matmul consumes the dequantize
+        q_nodes = [n for n in g.nodes if n.target == "dmx.quantize"]
+        dq_nodes = [n for n in g.nodes if n.target == "dmx.dequantize"]
+        assert len(q_nodes) == 3 and len(dq_nodes) == 3  # input, weight, out
+        matmul = nd["matmul"]
+        assert all(
+            getattr(a, "target", None) == "dmx.dequantize" for a in matmul.args
+        )
+        # output edge is the cast result
+        out = next(n for n in g.nodes if n.op == "output")
+        assert out.args[0].target == "dmx.dequantize"
+        assert out.args[0].cast_format == "FP[1|5|10,15](FN)"
+
+    def test_configure_graph_resets_formats(self):
+        from dmx_compressor_tpu.transform.legacy import (
+            cast_input_output_transform,
+            configure_graph,
+        )
+
+        g = cast_input_output_transform(
+            self._flat_graph(), input_format="BFP[8|8]{64}(SN)"
+        )
+        n_updated = configure_graph(g, {r"io\.input_casts\.x": "BFP[4|8]{64}(SN)"})
+        assert n_updated == 2  # the q and dq of the input edge
+        q = next(n for n in g.nodes if n.target == "dmx.quantize"
+                 and n.cast_name == "io.input_casts.x")
+        assert q.cast_format == "BFP[4|8]{64}(SN)"
+        assert q.args[-1] == "BFP[4|8]{64}(SN)"
+
+    def test_node_dict(self):
+        from dmx_compressor_tpu.transform.legacy import node_dict
+
+        g = self._flat_graph()
+        nd = node_dict(g)
+        assert "x" in nd and "matmul" in nd
+        assert nd["matmul"].op == "call_function"
