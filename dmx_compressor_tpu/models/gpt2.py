@@ -59,7 +59,7 @@ class GPT2Attention(nnx.Module):
         self.sdpa = rawnn.ScaledDotProductAttention()
 
     def __call__(self, x, attn_mask=None, cache: Optional[KVCache] = None,
-                 causal_prefill: bool = False):
+                 prefill_offset: Optional[int] = None):
         B, T, D = x.shape
         qkv = self.c_attn(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -68,10 +68,16 @@ class GPT2Attention(nnx.Module):
             return t.reshape(B, T, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        if causal_prefill:
-            from ..ops.flash_attention import flash_prefill
+        if prefill_offset is not None:
+            from ..ops.flash_attention import flash_chunked_prefill, flash_prefill
 
-            out = flash_prefill(self.sdpa, q, k, v, cache=cache)
+            out = (
+                flash_prefill(self.sdpa, q, k, v, cache=cache)
+                if prefill_offset == 0
+                else flash_chunked_prefill(
+                    self.sdpa, q, k, v, cache=cache, offset=prefill_offset
+                )
+            )
             if out is not None:
                 return self.c_proj(out.transpose(0, 2, 1, 3).reshape(B, T, D))
         if cache is not None and getattr(cache, "quantized", False):
@@ -104,10 +110,11 @@ class GPT2Block(nnx.Module):
         self.resadd1 = rawnn.ResAdd()
         self.resadd2 = rawnn.ResAdd()
 
-    def __call__(self, x, attn_mask=None, cache=None, causal_prefill: bool = False):
+    def __call__(self, x, attn_mask=None, cache=None,
+                 prefill_offset: Optional[int] = None):
         x = self.resadd1(
             self.attn(self.ln_1(x), attn_mask=attn_mask, cache=cache,
-                      causal_prefill=causal_prefill), x)
+                      prefill_offset=prefill_offset), x)
         x = self.resadd2(self.mlp(self.ln_2(x)), x)
         return x
 
@@ -135,12 +142,18 @@ class GPT2Model(nnx.Module):
             mask = jnp.where(
                 jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
             ).astype(x.dtype)
-        causal_prefill = (
-            T > 1 and isinstance(position_offset, int) and position_offset == 0
+        prefill_offset = (
+            position_offset
+            if (
+                T > 1
+                and isinstance(position_offset, int)
+                and (position_offset == 0 or caches is not None)
+            )
+            else None
         )
         for i, block in enumerate(self.h):
             x = block(x, attn_mask=mask, cache=None if caches is None else caches[i],
-                      causal_prefill=causal_prefill)
+                      prefill_offset=prefill_offset)
         return self.ln_f(x)
 
 

@@ -82,19 +82,26 @@ class LlamaAttention(nnx.Module):
         return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
 
     def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None,
-                 causal_prefill: bool = False):
+                 prefill_offset: Optional[int] = None):
         B, T, D = x.shape
         q = self._split(self.q_proj(x), self.num_heads)
         k = self._split(self.k_proj(x), self.num_kv_heads)
         v = self._split(self.v_proj(x), self.num_kv_heads)
         q, k = self.apply_rope(q, k, cos, sin)
         gqa = self.num_kv_heads != self.num_heads
-        if causal_prefill:
-            # full causal prefill: blockwise flash kernel, O(T·D) memory
-            # (roadmap §2c; GQA handled by head repeat inside the helper)
-            from ..ops.flash_attention import flash_prefill
+        if prefill_offset is not None:
+            # causal prefill: blockwise flash kernel, O(T·D) memory (roadmap
+            # §2c; GQA head repeat inside the helper; offset>0 = chunked
+            # prefill over cache prefix + fresh suffix)
+            from ..ops.flash_attention import flash_chunked_prefill, flash_prefill
 
-            out = flash_prefill(self.sdpa, q, k, v, cache=cache)
+            out = (
+                flash_prefill(self.sdpa, q, k, v, cache=cache)
+                if prefill_offset == 0
+                else flash_chunked_prefill(
+                    self.sdpa, q, k, v, cache=cache, offset=prefill_offset
+                )
+            )
             if out is not None:
                 out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
                 return self.o_proj(out)
@@ -133,10 +140,10 @@ class LlamaDecoderLayer(nnx.Module):
         self.resadd2 = rawnn.ResAdd()
 
     def __call__(self, x, cos, sin, attn_mask=None, cache=None,
-                 causal_prefill: bool = False):
+                 prefill_offset: Optional[int] = None):
         x = self.resadd1(
             self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,
-                           causal_prefill=causal_prefill), x
+                           prefill_offset=prefill_offset), x
         )
         x = self.resadd2(self.mlp(self.post_attention_layernorm(x)), x)
         return x
@@ -171,13 +178,19 @@ class LlamaModel(nnx.Module):
             mask = jnp.where(
                 jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
             ).astype(x.dtype)
-        causal_prefill = (
-            T > 1 and isinstance(position_offset, int) and position_offset == 0
+        prefill_offset = (
+            position_offset
+            if (
+                T > 1
+                and isinstance(position_offset, int)
+                and (position_offset == 0 or caches is not None)
+            )
+            else None
         )
         for i, layer in enumerate(self.layers):
             x = layer(x, cos, sin, attn_mask=mask,
                       cache=None if caches is None else caches[i],
-                      causal_prefill=causal_prefill)
+                      prefill_offset=prefill_offset)
         return self.norm(x)
 
 

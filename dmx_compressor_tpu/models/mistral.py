@@ -97,16 +97,20 @@ class MistralModel(nnx.Module):
         cos, sin = self.rotary_emb(x, pos)
         S = caches[0].k.value.shape[2] if caches is not None else T
         mask = self._mask(T, S, position_offset if caches is not None else 0, x.dtype)
-        causal_prefill = (
-            self.cfg.sliding_window is None  # banded mask excludes flash
-            and T > 1
-            and isinstance(position_offset, int)
-            and position_offset == 0
+        prefill_offset = (
+            position_offset
+            if (
+                self.cfg.sliding_window is None  # banded mask excludes flash
+                and T > 1
+                and isinstance(position_offset, int)
+                and (position_offset == 0 or caches is not None)
+            )
+            else None
         )
         for i, layer in enumerate(self.layers):
             x = layer(x, cos, sin, attn_mask=mask,
                       cache=None if caches is None else caches[i],
-                      causal_prefill=causal_prefill)
+                      prefill_offset=prefill_offset)
         return self.norm(x)
 
 

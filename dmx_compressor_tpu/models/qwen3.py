@@ -100,7 +100,7 @@ class Qwen3Attention(nnx.Module):
         return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
 
     def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None,
-                 causal_prefill: bool = False):
+                 prefill_offset: Optional[int] = None):
         B, T, _ = x.shape
         q = self.q_norm(
             self.q_proj(x).reshape(B, T, self.num_heads, self.head_dim)
@@ -111,10 +111,16 @@ class Qwen3Attention(nnx.Module):
         v = self._split(self.v_proj(x), self.num_kv_heads)
         q, k = self.apply_rope(q, k, cos, sin)
         gqa = self.num_kv_heads != self.num_heads
-        if causal_prefill:
-            from ..ops.flash_attention import flash_prefill
+        if prefill_offset is not None:
+            from ..ops.flash_attention import flash_chunked_prefill, flash_prefill
 
-            out = flash_prefill(self.sdpa, q, k, v, cache=cache)
+            out = (
+                flash_prefill(self.sdpa, q, k, v, cache=cache)
+                if prefill_offset == 0
+                else flash_chunked_prefill(
+                    self.sdpa, q, k, v, cache=cache, offset=prefill_offset
+                )
+            )
             if out is not None:
                 out = out.transpose(0, 2, 1, 3).reshape(
                     B, T, self.num_heads * self.head_dim
@@ -142,10 +148,10 @@ class Qwen3DecoderLayer(nnx.Module):
         self.resadd2 = rawnn.ResAdd()
 
     def __call__(self, x, cos, sin, attn_mask=None, cache=None,
-                 causal_prefill: bool = False):
+                 prefill_offset: Optional[int] = None):
         x = self.resadd1(
             self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,
-                           causal_prefill=causal_prefill), x
+                           prefill_offset=prefill_offset), x
         )
         x = self.resadd2(self.mlp(self.post_attention_layernorm(x)), x)
         return x
@@ -178,16 +184,20 @@ class Qwen3Model(nnx.Module):
         cos, sin = self.rotary_emb(x, pos)
         S = caches[0].k.value.shape[2] if caches is not None else T
         mask = self._mask(T, S, position_offset if caches is not None else 0, x.dtype)
-        causal_prefill = (
-            self.cfg.sliding_window is None
-            and T > 1
-            and isinstance(position_offset, int)
-            and position_offset == 0
+        prefill_offset = (
+            position_offset
+            if (
+                self.cfg.sliding_window is None
+                and T > 1
+                and isinstance(position_offset, int)
+                and (position_offset == 0 or caches is not None)
+            )
+            else None
         )
         for i, layer in enumerate(self.layers):
             x = layer(x, cos, sin, attn_mask=mask,
                       cache=None if caches is None else caches[i],
-                      causal_prefill=causal_prefill)
+                      prefill_offset=prefill_offset)
         return self.norm(x)
 
 

@@ -97,17 +97,24 @@ class WhisperAttention(nnx.Module):
         return x.reshape(B, T, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
     def __call__(self, x, kv=None, attn_mask=None, cache: Optional[KVCache] = None,
-                 causal_prefill: bool = False):
+                 prefill_offset: Optional[int] = None):
         B, T, D = x.shape
         kv = x if kv is None else kv
         q = self._split(self.q_proj(x))
         k = self._split(self.k_proj(kv))
         v = self._split(self.v_proj(kv))
-        if causal_prefill:
-            from ..ops.flash_attention import flash_prefill
+        if prefill_offset is not None:
+            from ..ops.flash_attention import flash_chunked_prefill, flash_prefill
 
-            out = flash_prefill(self.sdpa, q, k, v, scale=self.scaling,
-                                cache=cache)
+            out = (
+                flash_prefill(self.sdpa, q, k, v, scale=self.scaling,
+                              cache=cache)
+                if prefill_offset == 0
+                else flash_chunked_prefill(
+                    self.sdpa, q, k, v, cache=cache, offset=prefill_offset,
+                    scale=self.scaling,
+                )
+            )
             if out is not None:
                 return self.out_proj(out.transpose(0, 2, 1, 3).reshape(B, T, D))
         if cache is not None and getattr(cache, "quantized", False):
@@ -156,10 +163,10 @@ class WhisperDecoderLayer(nnx.Module):
         self.resadd3 = rawnn.ResAdd()
 
     def __call__(self, x, enc, attn_mask=None, cache=None,
-                 causal_prefill: bool = False):
+                 prefill_offset: Optional[int] = None):
         x = self.resadd1(
             self.self_attn(self.self_attn_layer_norm(x), attn_mask=attn_mask,
-                           cache=cache, causal_prefill=causal_prefill),
+                           cache=cache, prefill_offset=prefill_offset),
             x,
         )
         x = self.resadd2(self.encoder_attn(self.encoder_attn_layer_norm(x), kv=enc), x)
@@ -219,13 +226,19 @@ class WhisperDecoder(nnx.Module):
             mask = jnp.where(
                 jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
             ).astype(x.dtype)
-        causal_prefill = (
-            T > 1 and isinstance(position_offset, int) and position_offset == 0
+        prefill_offset = (
+            position_offset
+            if (
+                T > 1
+                and isinstance(position_offset, int)
+                and (position_offset == 0 or caches is not None)
+            )
+            else None
         )
         for i, layer in enumerate(self.layers):
             x = layer(x, enc, attn_mask=mask,
                       cache=None if caches is None else caches[i],
-                      causal_prefill=causal_prefill)
+                      prefill_offset=prefill_offset)
         return self.layer_norm(x)
 
 

@@ -263,3 +263,26 @@ def flash_prefill(sdpa, q, k, v, *, scale=None, cache=None):
         k = jnp.repeat(k, rep, axis=-3)
         v = jnp.repeat(v, rep, axis=-3)
     return flash_attention(q, k, v, causal=True, scale=scale)
+
+
+def flash_chunked_prefill(sdpa, q, k, v, *, cache, offset: int, scale=None):
+    """Chunked prefill: queries at positions [offset, offset+T) attend the
+    cache prefix [0, offset) plus the fresh chunk — the flash kernel's
+    causal diagonal at S-L handles exactly this alignment, so no mask
+    materializes.  Fills the cache as a side effect.  Returns ``None`` when
+    routing does not apply (caller falls back to the masked sdpa)."""
+    T = q.shape[-2]
+    if T <= 1 or not sdpa_transparent(sdpa):
+        return None
+    if cache is None or getattr(cache, "quantized", False) or hasattr(
+        cache, "write_base"
+    ):
+        return None
+    kf, vf, _ = cache.update(k, v)
+    kf = kf[..., : offset + T, :]
+    vf = vf[..., : offset + T, :]
+    if kf.shape[-3] != q.shape[-3]:
+        rep = q.shape[-3] // kf.shape[-3]
+        kf = jnp.repeat(kf, rep, axis=-3)
+        vf = jnp.repeat(vf, rep, axis=-3)
+    return flash_attention(q, kf, vf, causal=True, scale=scale)

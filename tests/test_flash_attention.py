@@ -119,3 +119,24 @@ class TestFlashPrefillRouting:
         x = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 16)).astype("int32")
         q = np.asarray(dm(x))
         assert np.isfinite(q).all()
+
+    def test_chunked_prefill_matches_full(self):
+        """offset>0 chunked prefill (cache prefix + fresh suffix via the
+        causal-diagonal flash path) continues exactly from an offset-0
+        prefill."""
+        from flax import nnx
+
+        from dmx_compressor_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig.tiny()
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        x = np.random.RandomState(1).randint(
+            0, cfg.vocab_size, (2, 12)
+        ).astype("int32")
+        full = np.asarray(model(x))
+        caches = model.init_cache(2, 12)
+        model(x[:, :4], caches=caches, position_offset=0)
+        chunk = np.asarray(model(x[:, 4:8], caches=caches, position_offset=4))
+        np.testing.assert_allclose(chunk, full[:, 4:8], atol=1e-5)
+        step = np.asarray(model(x[:, 8:12], caches=caches, position_offset=8))
+        np.testing.assert_allclose(step, full[:, 8:12], atol=1e-5)
