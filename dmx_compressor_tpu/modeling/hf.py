@@ -64,6 +64,8 @@ def read_hf_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
 
 def _resolve(obj, path: str):
+    if path == "":  # top-level parameter (e.g. CLIP's logit_scale)
+        return obj
     for part in path.split("."):
         if part.isdigit():
             obj = obj[int(part)]

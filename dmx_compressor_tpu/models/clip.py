@@ -105,9 +105,9 @@ class CLIPMLP(nnx.Module):
 class CLIPEncoderLayer(nnx.Module):
     def __init__(self, d: int, m: int, heads: int, *, rngs: nnx.Rngs):
         self.self_attn = CLIPAttention(d, heads, rngs=rngs)
-        self.layer_norm1 = nnx.LayerNorm(d, rngs=rngs)
+        self.layer_norm1 = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.mlp = CLIPMLP(d, m, rngs=rngs)
-        self.layer_norm2 = nnx.LayerNorm(d, rngs=rngs)
+        self.layer_norm2 = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.resadd1 = rawnn.ResAdd()
         self.resadd2 = rawnn.ResAdd()
 
@@ -129,14 +129,14 @@ class CLIPVisionTransformer(nnx.Module):
         n_patches = (cfg.image_size // cfg.patch_size) ** 2
         self.class_embedding = nnx.Param(jax.random.normal(rngs.params(), (d,)) * 0.02)
         self.position_embedding = nnx.Embed(n_patches + 1, d, rngs=rngs)
-        self.pre_layrnorm = nnx.LayerNorm(d, rngs=rngs)
+        self.pre_layrnorm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.layers = nnx.data(
             [
                 CLIPEncoderLayer(d, cfg.intermediate_size, cfg.num_attention_heads, rngs=rngs)
                 for _ in range(cfg.num_hidden_layers)
             ]
         )
-        self.post_layernorm = nnx.LayerNorm(d, rngs=rngs)
+        self.post_layernorm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, pixel_values):
         # pixel_values: [B, 3, H, W]
@@ -164,7 +164,7 @@ class CLIPTextTransformer(nnx.Module):
                 for _ in range(cfg.num_hidden_layers)
             ]
         )
-        self.final_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.final_layer_norm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, input_ids):
         B, T = input_ids.shape
@@ -228,10 +228,13 @@ class CLIPModel(nnx.Module):
 
     @staticmethod
     def hf_tensor_converter(tensors):
-        """HF patch conv [out, in, k, k] -> im2col GEMM layout [out, in*k*k]."""
+        """HF CLIP layout -> zoo paths: drop the ``embeddings.`` /
+        ``encoder.`` grouping levels, and reshape the patch conv
+        [out, in, k, k] to the im2col GEMM layout [out, in*k*k]."""
         out = {}
         for k, v in tensors.items():
             if "patch_embedding.weight" in k:
                 v = np.asarray(v).reshape(v.shape[0], -1)
+            k = k.replace(".embeddings.", ".").replace(".encoder.layers.", ".layers.")
             out[k] = v
         return out

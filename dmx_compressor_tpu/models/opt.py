@@ -255,11 +255,11 @@ class OPTDecoderLayer(nnx.Module):
         d = cfg.hidden_size
         self.do_layer_norm_before = cfg.do_layer_norm_before
         self.self_attn = OPTAttention(cfg, rngs=rngs)
-        self.self_attn_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.self_attn_layer_norm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.fc1 = nnx.Linear(d, cfg.ffn_dim, rngs=rngs)
         self.activation_fn = rawnn.ReLU()
         self.fc2 = nnx.Linear(cfg.ffn_dim, d, rngs=rngs)
-        self.final_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.final_layer_norm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.resadd1 = rawnn.ResAdd()
         self.resadd2 = rawnn.ResAdd()
 
@@ -364,7 +364,7 @@ class OPTDecoder(nnx.Module):
             OPTDecoderLayer(cfg, rngs=rngs) for _ in range(cfg.num_hidden_layers)
         ])
         self.final_layer_norm = (
-            nnx.LayerNorm(cfg.hidden_size, rngs=rngs) if cfg.do_layer_norm_before else None
+            nnx.LayerNorm(cfg.hidden_size, epsilon=1e-5, rngs=rngs) if cfg.do_layer_norm_before else None
         )
 
     def __call__(self, input_ids, caches=None, position_offset=0,

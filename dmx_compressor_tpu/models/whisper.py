@@ -131,11 +131,11 @@ class WhisperEncoderLayer(nnx.Module):
     def __init__(self, cfg: WhisperConfig, *, rngs: nnx.Rngs):
         d = cfg.d_model
         self.self_attn = WhisperAttention(d, cfg.encoder_attention_heads, rngs=rngs)
-        self.self_attn_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.self_attn_layer_norm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.fc1 = nnx.Linear(d, cfg.encoder_ffn_dim, rngs=rngs)
         self.activation_fn = rawnn.GELU()
         self.fc2 = nnx.Linear(cfg.encoder_ffn_dim, d, rngs=rngs)
-        self.final_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.final_layer_norm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.resadd1 = rawnn.ResAdd()
         self.resadd2 = rawnn.ResAdd()
 
@@ -151,13 +151,13 @@ class WhisperDecoderLayer(nnx.Module):
     def __init__(self, cfg: WhisperConfig, *, rngs: nnx.Rngs):
         d = cfg.d_model
         self.self_attn = WhisperAttention(d, cfg.decoder_attention_heads, rngs=rngs)
-        self.self_attn_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.self_attn_layer_norm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.encoder_attn = WhisperAttention(d, cfg.decoder_attention_heads, rngs=rngs)
-        self.encoder_attn_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.encoder_attn_layer_norm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.fc1 = nnx.Linear(d, cfg.decoder_ffn_dim, rngs=rngs)
         self.activation_fn = rawnn.GELU()
         self.fc2 = nnx.Linear(cfg.decoder_ffn_dim, d, rngs=rngs)
-        self.final_layer_norm = nnx.LayerNorm(d, rngs=rngs)
+        self.final_layer_norm = nnx.LayerNorm(d, epsilon=1e-5, rngs=rngs)
         self.resadd1 = rawnn.ResAdd()
         self.resadd2 = rawnn.ResAdd()
         self.resadd3 = rawnn.ResAdd()
@@ -190,7 +190,7 @@ class WhisperEncoder(nnx.Module):
         self.layers = nnx.data(
             [WhisperEncoderLayer(cfg, rngs=rngs) for _ in range(cfg.encoder_layers)]
         )
-        self.layer_norm = nnx.LayerNorm(cfg.d_model, rngs=rngs)
+        self.layer_norm = nnx.LayerNorm(cfg.d_model, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, input_features):
         # input_features: [B, mels, frames]
@@ -211,7 +211,7 @@ class WhisperDecoder(nnx.Module):
         self.layers = nnx.data(
             [WhisperDecoderLayer(cfg, rngs=rngs) for _ in range(cfg.decoder_layers)]
         )
-        self.layer_norm = nnx.LayerNorm(cfg.d_model, rngs=rngs)
+        self.layer_norm = nnx.LayerNorm(cfg.d_model, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, input_ids, enc, caches=None, position_offset=0):
         B, T = input_ids.shape
