@@ -102,3 +102,138 @@ def configure_graph(graph: DmxGraph, config: Dict[str, str]) -> int:
                     n.args = n.args[:3] + (fmt,)
                 updated += 1
     return updated
+
+
+def stitch_graphs(
+    first: DmxGraph,
+    second: DmxGraph,
+    prefixes: Optional[tuple] = None,
+) -> DmxGraph:
+    """Compose two single-input/single-output module graphs sequentially:
+    ``second(first(x))`` as one flat graph (how adjacent modules' Q/DQ
+    boundaries become visible to :func:`fold_redundant_qdq`).
+
+    ``prefixes`` — optional ``("m1", "m2")`` module paths prepended to each
+    graph's cast names, ``get_attr`` targets, and scale/zero_point arg refs,
+    so the stitched graph evaluates against a container holding both
+    modules under those attribute names.
+    """
+    g = DmxGraph()
+    g._counter = max(first._counter, second._counter) + 1
+
+    def reprefix(value, prefix):
+        if prefix is None or not isinstance(value, str):
+            return value
+        return f"{prefix}.{value}"
+
+    def copy_nodes(src, env, prefix, suffix="", input_value=None):
+        out_val = None
+        for n in src.nodes:
+            if n.op == "placeholder":
+                if input_value is None:
+                    g.nodes.append(n)
+                    env[n.name] = n
+                else:
+                    env[n.name] = input_value
+            elif n.op == "output":
+                a = n.args[0]
+                out_val = env[a.name] if isinstance(a, Node) else a
+            else:
+                args = tuple(
+                    env[a.name] if isinstance(a, Node) else a for a in n.args
+                )
+                if prefix is not None and n.target in (
+                    "dmx.quantize",
+                    "dmx.dequantize",
+                ):
+                    # scale/zero_point refs live after the tensor arg
+                    args = (args[0],) + tuple(
+                        reprefix(a, prefix) for a in args[1:]
+                    )
+                target = n.target
+                if n.op == "get_attr":
+                    target = reprefix(target, prefix)
+                new = Node(
+                    n.op,
+                    n.name + suffix,
+                    target=target,
+                    args=args,
+                    kwargs=dict(n.kwargs),
+                    cast_name=reprefix(n.cast_name, prefix),
+                    cast_format=n.cast_format,
+                )
+                g.nodes.append(new)
+                env[n.name] = new
+        return out_val
+
+    p1, p2 = prefixes if prefixes is not None else (None, None)
+    env: Dict[str, Node] = {}
+    mid = copy_nodes(first, env, p1)
+    out = copy_nodes(second, {}, p2, suffix="_b", input_value=mid)
+    g.output(out)
+    return g
+
+
+def _is_idempotent_format(shorthand: Optional[str]) -> bool:
+    """Casting twice to the same FN float format is a no-op (the value is
+    already on the format's grid); fixed-point casts with independent scales
+    are NOT idempotent and must be kept."""
+    if shorthand is None:
+        return False
+    from ..numerics.format import FloatingPoint, Format, Same
+
+    try:
+        fmt = Format.from_shorthand(shorthand)
+    except Exception:
+        return False
+    return isinstance(fmt, Same) or (
+        isinstance(fmt, FloatingPoint) and getattr(fmt, "rounding", "N") != "S"
+    )
+
+
+def fold_redundant_qdq(graph: DmxGraph) -> int:
+    """Drop quantize/dequantize pairs that re-cast a value already on the
+    same format's grid — the adjacent-module output->FLOAT16 then
+    input->FLOAT16 pattern (roadmap §3; the reference's compiler performs
+    the same fold downstream).  Returns the number of pairs removed."""
+    removed = 0
+    changed = True
+    while changed:
+        changed = False
+        by_producer = {}
+        for n in graph.nodes:
+            if n.op != "call_function" or n.target != "dmx.quantize":
+                continue
+            src = n.args[0]
+            if (
+                isinstance(src, Node)
+                and src.target == "dmx.dequantize"
+                and src.cast_format == n.cast_format
+                and _is_idempotent_format(n.cast_format)
+            ):
+                by_producer[n.name] = (n, src)
+        for q2, dq1 in by_producer.values():
+            # q2 -> dq2; rewire dq2's consumers to dq1 and drop the pair
+            dq2 = next(
+                (
+                    n
+                    for n in graph.nodes
+                    if n.target == "dmx.dequantize"
+                    and n.args
+                    and n.args[0] is q2
+                ),
+                None,
+            )
+            if dq2 is None:
+                continue
+            for n in graph.nodes:
+                if n.op in ("call_function", "output") and any(
+                    a is dq2 for a in n.args
+                ):
+                    n.args = tuple(dq1 if a is dq2 else a for a in n.args)
+            graph.nodes.remove(q2)
+            graph.nodes.remove(dq2)
+            removed += 1
+            changed = True
+            break
+    return removed

@@ -321,3 +321,77 @@ class TestLegacyFlatGraphTransformers:
         nd = node_dict(g)
         assert "x" in nd and "matmul" in nd
         assert nd["matmul"].op == "call_function"
+
+
+class TestQdqFolding:
+    """Redundant-cast elimination over stitched module graphs (roadmap §3:
+    adjacent modules' output->FLOAT16 then input->FLOAT16)."""
+
+    FP16 = "FP[1|5|10,15](FN)"
+
+    def _pair(self):
+        import jax.numpy as jnp
+        from flax import nnx
+
+        from dmx_compressor_tpu import nn as dmxnn
+        from dmx_compressor_tpu.transform.qdq import module_compiler_graph
+
+        l1 = dmxnn.Linear(16, 16, rngs=nnx.Rngs(0))
+        l1.configure(dict(
+            input_formats=["BFP[8|8]{16}(SN)"],
+            weight_format="BFP[8|8]{16}(SN)",
+            output_formats=[self.FP16],
+        ))
+        sm = dmxnn.Softmax()
+        sm.configure(dict(
+            input_formats=[self.FP16], output_formats=[self.FP16]
+        ))
+
+        class Both(nnx.Module):
+            def __init__(self):
+                self.l1 = l1
+                self.sm = sm
+
+        return Both(), module_compiler_graph(l1), module_compiler_graph(sm)
+
+    def test_fold_removes_pairs_and_preserves_values(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dmx_compressor_tpu.transform.legacy import (
+            fold_redundant_qdq,
+            stitch_graphs,
+        )
+        from dmx_compressor_tpu.transform.qdq import evaluate_graph
+
+        both, g1, g2 = self._pair()
+        g = stitch_graphs(g1, g2, prefixes=("l1", "sm"))
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(4, 16), jnp.float32
+        )
+        before = np.asarray(evaluate_graph(g, both, x))
+        # eager chain for reference
+        want = np.asarray(both.sm(both.l1(x)))
+        np.testing.assert_allclose(before, want, atol=1e-6)
+
+        n_nodes = len(g.nodes)
+        removed = fold_redundant_qdq(g)
+        # the Linear's FLOAT16 output cast feeds the Softmax's FLOAT16
+        # input cast: exactly one pair is redundant
+        assert removed == 1
+        assert len(g.nodes) == n_nodes - 2
+        after = np.asarray(evaluate_graph(g, both, x))
+        np.testing.assert_array_equal(after, before)
+
+    def test_fixed_point_pairs_not_folded(self):
+        from dmx_compressor_tpu.transform.legacy import fold_redundant_qdq
+        from dmx_compressor_tpu.transform.qdq import DmxGraph
+
+        import jax.numpy as jnp
+
+        g = DmxGraph()
+        x = g.placeholder("x")
+        a = g.qdq(x, "c1", "XP[8,0](CSN)")
+        b = g.qdq(a, "c2", "XP[8,0](CSN)")  # independent scales: keep
+        g.output(b)
+        assert fold_redundant_qdq(g) == 0
