@@ -504,6 +504,31 @@ class Pipeline:
         gen = run(state, ids, jax.random.key(seed))
         return jnp.concatenate([ids, gen], axis=1)
 
+    def generate_seq2seq(
+        self,
+        encoder_input,
+        decoder_start_ids=None,
+        max_new_tokens: int = 16,
+        eos_token_id: Optional[int] = None,
+    ):
+        """Seq2seq generation for encoder-decoder zoo models (T5, Whisper):
+        encode once, device-side scan decode (delegates to the model's own
+        generate; reference pipeline task surface for text2text /
+        automatic-speech-recognition)."""
+        gen = getattr(self.raw_model, "generate", None)
+        assert gen is not None and hasattr(self.raw_model, "encode"), (
+            "generate_seq2seq requires an encoder-decoder zoo model"
+        )
+        if decoder_start_ids is None:
+            B = np.asarray(encoder_input).shape[0]
+            decoder_start_ids = np.zeros((B, 1), np.int32)
+        return gen(
+            encoder_input,
+            decoder_start_ids,
+            max_new_tokens=max_new_tokens,
+            eos_token_id=eos_token_id,
+        )
+
     def generate_batch(
         self,
         prompts: List[np.ndarray],

@@ -217,3 +217,47 @@ def test_t5_checkpoint_import(tmp_path):
             decoder_input_ids=torch.tensor(d, dtype=torch.long),
         ).logits.numpy()
     np.testing.assert_allclose(np.asarray(loaded(x, d)), want, atol=2e-4, rtol=1e-4)
+
+
+def test_t5_pipeline_seq2seq(tmp_path):
+    """Pipeline task surface for encoder-decoder models: checkpoint ->
+    BASIC-configured pipeline -> generate_seq2seq."""
+    import json
+    import os
+
+    import torch
+    from safetensors.numpy import save_file
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration as HFT5
+
+    from dmx_compressor_tpu.modeling.hf import pipeline
+
+    cfg = T5Config.tiny()
+    hf_cfg = HFT5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
+        d_ff=cfg.d_ff, num_layers=cfg.num_layers,
+        num_decoder_layers=cfg.num_decoder_layers, num_heads=cfg.num_heads,
+        dropout_rate=0.0, feed_forward_proj="relu", tie_word_embeddings=True,
+    )
+    torch.manual_seed(4)
+    hf = HFT5(hf_cfg).eval()
+    with open(os.path.join(tmp_path, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "t5", "vocab_size": cfg.vocab_size,
+            "d_model": cfg.d_model, "d_kv": cfg.d_kv, "d_ff": cfg.d_ff,
+            "num_layers": cfg.num_layers,
+            "num_decoder_layers": cfg.num_decoder_layers,
+            "num_heads": cfg.num_heads, "feed_forward_proj": "relu",
+            "tie_word_embeddings": True,
+        }, f)
+    save_file(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()
+         if k != "lm_head.weight"},
+        os.path.join(tmp_path, "model.safetensors"),
+    )
+    pipe = pipeline("text2text-generation", str(tmp_path), dmx_config="BASIC")
+    assert pipe.missed_keys == []
+    x = ids(2, 10, cfg.vocab_size)
+    out = np.asarray(pipe.generate_seq2seq(x, max_new_tokens=5))
+    assert out.shape == (2, 6)
+    assert (out >= 0).all() and (out < cfg.vocab_size).all()
