@@ -220,3 +220,54 @@ def test_gptq_weight_update_parity(wfmt, micro, block):
         lsb = 2.0 ** (np.floor(np.log2(np.maximum(blocks, 1e-30))) - 6)
         lsb = np.repeat(lsb, 16, axis=1)
         assert (diff <= 1.05 * lsb + 1e-9).all(), float((diff / lsb).max())
+
+
+def test_histogram_calibration_parity():
+    """Histogram observer with the L2-norm-minimizing non-linear search
+    (reference observer.py:213-582): same single calibration batch, same
+    learned scale/zero_point up to histogram-resolution granularity.
+
+    Integer-valued range endpoints on purpose: the reference builds its
+    histogram with ``torch.histc(x, bins, min=int(min), max=int(max))``
+    (observer.py:470-471) — truncating the range to ints and silently
+    dropping out-of-range values — while its L2 search still interprets the
+    bins over the FLOAT min/max (a latent torch.ao-era bug).  This build
+    histograms the true float range and counts every value; with integer
+    endpoints the two semantics coincide and the search itself is what's
+    verified (it matches the reference's search bit-for-bit on identical
+    histograms)."""
+    from dmx.compressor.numerical.observer import (
+        HistogramObserver as RefHistogramObserver,
+    )
+
+    from dmx_compressor_tpu.numerics.observer import HistogramObserver
+
+    ref, mine = _pair_of_linears(K=32, N=16, seed=9)
+    ref.input_casts["input_cast"].set_format(RefFormat.from_shorthand(INT8))
+    mine.input_casts.set_format([INT8])
+
+    x = (RNG.standard_normal((64, 32)) * 2).astype(np.float32)
+    x = np.clip(x, -6.0, 7.0)
+    x[0, 0], x[0, 1] = -6.0, 7.0  # exact integer endpoints
+    ref.input_casts["input_cast"].enable_calibration(
+        True, observer_cls=RefHistogramObserver
+    )
+    mine.input_casts["input_cast"].enable_calibration(
+        True, observer_cls=HistogramObserver
+    )
+    with torch.no_grad():
+        ref(torch.from_numpy(x))
+    mine(jnp.asarray(x))
+    ref.input_casts["input_cast"].enable_calibration(False)
+    mine.input_casts["input_cast"].enable_calibration(False)
+
+    ref_scale = float(ref.input_casts["input_cast"].scale)
+    my_scale = float(
+        np.asarray(mine.input_casts["input_cast"].scale.value).ravel()[0]
+    )
+    ref_zp = float(ref.input_casts["input_cast"].zero_point)
+    my_zp = float(
+        np.asarray(mine.input_casts["input_cast"].zero_point.value).ravel()[0]
+    )
+    np.testing.assert_allclose(my_scale, ref_scale, rtol=1e-4)
+    assert abs(my_zp - ref_zp) <= 1.0  # zp quantizes the same bin boundary
