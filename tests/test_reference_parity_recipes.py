@@ -271,3 +271,86 @@ def test_histogram_calibration_parity():
     )
     np.testing.assert_allclose(my_scale, ref_scale, rtol=1e-4)
     assert abs(my_zp - ref_zp) <= 1.0  # zp quantizes the same bin boundary
+
+
+@pytest.mark.parametrize(
+    "position,mlp_type",
+    [("post_attn", None), ("post_mlp", "standard"), ("post_mlp", "llama")],
+)
+def test_slanc_norm_parity(position, mlp_type):
+    """The SLaNC analytic norms (Frobenius / spectral compositions of the
+    surrounding weights, reference layer_reconstruction.py:127-201) match
+    the live reference for every position/mlp-type."""
+    from dmx.compressor.advanced_recipe import (
+        DmxSLaNCHyperparams as RefSLaNCHp,
+    )
+    from dmx.compressor.functional import ApproximationFunction as RefAF
+
+    from dmx_compressor_tpu.advanced_recipe import DmxModuleSLaNCHyperparams
+    from dmx_compressor_tpu.functional.approximate import ApproximationFunction
+
+    D, H = 16, 32
+    torch.manual_seed(7)
+    t_prev_ln = torch.nn.LayerNorm(D)
+    with torch.no_grad():
+        t_prev_ln.weight.mul_(1.0 + 0.3 * torch.randn(D))
+    t_v = torch.nn.Linear(D, D, bias=False)
+    t_o = torch.nn.Linear(D, D, bias=False)
+    t_fc1 = torch.nn.Linear(D, H, bias=False)
+    t_fc2 = torch.nn.Linear(H, D, bias=False)
+    t_gate = torch.nn.Linear(D, H, bias=False)
+    t_up = torch.nn.Linear(D, H, bias=False)
+    t_down = torch.nn.Linear(H, D, bias=False)
+
+    # reference side: LayerNorm with a vsimd-tagged approximation
+    raw_ln = torch.nn.LayerNorm(D)
+    ref_ln = refnn.LayerNorm.from_raw(raw_ln)
+    ref_ln.approximator.function = RefAF.from_shorthand("LAYER_NORM[vsimd]{}()")
+    ref_hp = RefSLaNCHp(
+        position=position, mlp_type=mlp_type, device=torch.device("cpu"),
+        prev_ln_weight=t_prev_ln, v_proj=t_v, o_proj=t_o,
+        fc1=t_fc1, fc2=t_fc2, gate_proj=t_gate, up_proj=t_up, down_proj=t_down,
+    )
+    with ref_ln.slanc_tuning(ref_hp):
+        pass
+    ref_norm = float(ref_ln.approximator.function.extra_params["norm"])
+
+    # this build: same weights through dmx module wrappers
+    def as_mine(t_mod, cls, *shape):
+        m = cls(*shape, rngs=nnx.Rngs(0)) if shape else cls(D)
+        m.weight.value = jnp.asarray(t_mod.weight.detach().numpy())
+        return m
+
+    ln = dmxnn.LayerNorm(D)
+    ln.configure(dict(approximation_function="LAYER_NORM[vsimd]{}()"))
+    my_hp = DmxModuleSLaNCHyperparams(
+        position=position, mlp_type=mlp_type,
+        prev_ln_weight=as_mine(t_prev_ln, dmxnn.LayerNorm),
+        v_proj=as_mine(t_v, dmxnn.Linear, D, D),
+        o_proj=as_mine(t_o, dmxnn.Linear, D, D),
+        fc1=as_mine(t_fc1, dmxnn.Linear, D, H),
+        fc2=as_mine(t_fc2, dmxnn.Linear, H, D),
+        gate_proj=as_mine(t_gate, dmxnn.Linear, D, H),
+        up_proj=as_mine(t_up, dmxnn.Linear, D, H),
+        down_proj=as_mine(t_down, dmxnn.Linear, H, D),
+    )
+    with ln.slanc_tuning(my_hp):
+        pass
+    my_norm = float(ln.approximator.function.extra_params["norm"])
+    np.testing.assert_allclose(my_norm, ref_norm, rtol=1e-5)
+
+
+def test_btopk_sparsity_mask_parity():
+    """BTOPK N:M structured masks match the reference's BlockTopK
+    (reference sparse.py:147-204) element for element."""
+    from dmx.compressor.sparse import Sparseness as RefSparseness
+
+    from dmx_compressor_tpu.sparse import Sparseness
+
+    x = (RNG.standard_normal((8, 64)) * 3).astype(np.float32)
+    for sh in ("BTOPK{4:8,-1}(U)", "BTOPK{2:8,-1}(U)", "TOPK{0.5}(U)"):
+        ref_sp = RefSparseness.from_shorthand(sh)
+        my_sp = Sparseness.from_shorthand(sh)
+        ref_mask = ref_sp.get_mask(torch.from_numpy(x)).numpy()
+        my_mask = np.asarray(my_sp.get_mask(jnp.asarray(x)))
+        np.testing.assert_array_equal(my_mask, ref_mask, err_msg=sh)
