@@ -119,3 +119,63 @@ def int_group_unpack(q: Array, scale: Array, zp: Array, group_size: int = 64) ->
     qf = q.astype(jnp.float32).reshape(*lead, n // group_size, group_size)
     out = (qf - zp[..., None].astype(jnp.float32)) * scale[..., None]
     return out.reshape(*lead, n)
+
+
+class PackedSBFP(NamedTuple):
+    """SBFP payload for a 2D tensor blocked along the last axis
+    (numerics/format.py ScaledBlockFloatingPoint; reference format.py:400-511).
+
+    nibbles: uint8 [..., N // 2] — two two's-complement int4 mantissas per
+        byte (low nibble = even index); mantissas are the INT4 values of
+        ``block_format.cast(block / chunk_max)``, i.e. in [-7, 7]
+    scale: float32 [..., N // block_size] — the scaler_format-cast chunk max
+        (zero for all-zero blocks)
+    block_size: B (16 for SBFP12_16)
+    """
+
+    nibbles: Array
+    scale: Array
+    block_size: int
+
+    @property
+    def n(self):
+        return self.nibbles.shape[-1] * 2
+
+
+def sbfp_pack(x: Array, fmt) -> PackedSBFP:
+    """Pack along the last axis; reconstruction is bit-identical to
+    ``fmt.cast(x, -1)`` (all-zero blocks included)."""
+    *lead, n = x.shape
+    B = fmt.block_size
+    assert n % B == 0, f"{n} not a multiple of block {B}"
+    assert fmt.block_format.precision <= 4, "nibble packing is int4"
+    xf = x.astype(jnp.float32).reshape(*lead, n // B, B)
+    chunk_max = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / fmt.man_scaling
+    safe_max = jnp.where(chunk_max > 0.0, chunk_max, 1.0)
+    man = fmt.block_format.cast(xf / safe_max)  # integer-valued floats
+    scale = jnp.where(
+        chunk_max > 0.0, fmt.scaler_format.cast(chunk_max), 0.0
+    )[..., 0]
+    man = man.reshape(*lead, n).astype(jnp.int32)
+    lo = man[..., 0::2] & 0xF
+    hi = man[..., 1::2] & 0xF
+    return PackedSBFP(
+        nibbles=(lo | (hi << 4)).astype(jnp.uint8),
+        scale=scale.astype(jnp.float32),
+        block_size=B,
+    )
+
+
+def sbfp_unpack(p: PackedSBFP) -> Array:
+    """Dequantize to f32; == the simulated SBFP cast bit-for-bit."""
+    b = p.nibbles.astype(jnp.int32)
+    lo = b & 0xF
+    lo = lo - ((lo > 7) << 4)
+    hi = (b >> 4) & 0xF
+    hi = hi - ((hi > 7) << 4)
+    *lead, half = b.shape
+    man = jnp.stack([lo, hi], axis=-1).reshape(*lead, half * 2)
+    man = man.reshape(*lead, half * 2 // p.block_size, p.block_size)
+    return (
+        man.astype(jnp.float32) * p.scale[..., None]
+    ).reshape(*lead, half * 2)

@@ -23,9 +23,9 @@ from flax import nnx
 
 from ..nn import modules as dmxnn
 from ..nn.core import DmxModule
-from ..numerics.format import BlockFloatingPoint, Same
+from ..numerics.format import BlockFloatingPoint, Same, ScaledBlockFloatingPoint
 from .bfp_linear import bfp_linear
-from .bfp_pack import PackedBFP, bfp_pack
+from .bfp_pack import PackedBFP, PackedSBFP, bfp_pack, sbfp_pack, sbfp_unpack
 
 
 class PackedBFPLinear(DmxModule):
@@ -222,6 +222,105 @@ class PackedBFPLinear(DmxModule):
         return cls(packed, bias, lin)
 
 
+class PackedSBFPLinear(DmxModule):
+    """Inference-only Linear serving directly from SBFP payloads: two's-
+    complement int4 mantissas packed two-per-byte + one low-bit-fp scale per
+    block (~0.56 bytes/elem for SBFP12_16 vs 4 for fp32).  Covers the
+    weights-only serving of the SBFP_WEIGHT_STORAGE configs (BASELINE.md
+    OPT-1.3B row): weight_storage_format SBFP with weight_format SAME.
+
+    Decode matmuls use a bf16 dequant cache: an int4 mantissa (3
+    significant bits) times an m4 scale (5) needs <= 8 significand bits —
+    exactly bf16's precision — so the cached WEIGHTS are lossless.  Like
+    PackedBFPLinear's decode path, activations ride the MXU in bf16: exact
+    when the input cast quantizes to <= 9 bits (the quantized serving
+    configs), a deliberate bf16-serving approximation when inputs are SAME
+    (raw fp32).  Prefill (rows >= 128) dequantizes f32 throughout."""
+
+    ch_axis = -1
+    win_ch_axis = -1
+    wout_ch_axis = 0
+    has_accum = False
+    has_weight = False
+    has_bias = True
+    sparsifiable = False
+
+    def __init__(self, packed: PackedSBFP, bias, src: dmxnn.Linear):
+        self.in_features = src.in_features
+        self.out_features = src.out_features
+        self.has_bias = bias is not None
+        super().__init__()
+        self.weight_nibbles = nnx.Variable(packed.nibbles)
+        self.weight_block_scale = nnx.Variable(packed.scale)
+        self.block_size = packed.block_size
+        import os
+
+        use_bf16 = not os.environ.get("DMX_DECODE_FUSED")
+        self.weight_bf16 = (
+            nnx.Variable(sbfp_unpack(packed).astype(jnp.bfloat16))
+            if use_bf16
+            else None
+        )
+        self.bias = nnx.Param(bias) if bias is not None else None
+        self.input_casts = src.input_casts
+        self.output_casts = src.output_casts
+        self.bias_cast = src.bias_cast
+        self.input_casts["input_cast"].block_dim = -1
+
+    @property
+    def packed(self) -> PackedSBFP:
+        return PackedSBFP(
+            self.weight_nibbles.value, self.weight_block_scale.value, self.block_size
+        )
+
+    def _forward(self, _input):
+        rows = 1
+        for d in _input.shape[:-1]:
+            rows *= d
+        if self.weight_bf16 is not None and rows < 128:
+            y = jnp.matmul(
+                _input.astype(jnp.bfloat16),
+                self.weight_bf16.value.T,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            y = jnp.matmul(
+                _input.astype(jnp.float32), sbfp_unpack(self.packed).T
+            )
+        if self.bias is not None:
+            y = y + self._bias.astype(y.dtype)
+        return y.astype(_input.dtype)
+
+    def _flops_for(self, input_shape, output_shape):
+        import numpy as np
+
+        return int(np.prod(input_shape)) * self.out_features
+
+    @classmethod
+    def from_linear(cls, lin: dmxnn.Linear) -> "PackedSBFPLinear":
+        fmt = lin.weight_storage_format
+        assert isinstance(fmt, ScaledBlockFloatingPoint)
+        assert isinstance(lin.weight_format, Same), (
+            "SBFP storage + non-SAME weight cast packs via PackedBFPLinear"
+        )
+        w = lin.weight.value
+        if lin.weight_sparsifier is not None:
+            w = lin.weight_sparsifier(w)
+        if lin.smoothquant is not None and not lin.smoothquant.fused_to_weight:
+            w = lin.smoothquant.scale_weight(w)
+        packed = sbfp_pack(jnp.asarray(w, jnp.float32), fmt)
+        bias = None
+        if lin.bias is not None:
+            bias = (
+                lin.bias_cast(lin.bias.value)
+                if lin.bias_cast is not None
+                else lin.bias.value
+            )
+            if lin.bias_cast is not None:
+                lin.bias_cast.set_format("SAME")
+        return cls(packed, bias, lin)
+
+
 def merge_parallel_linears(mods):
     """Concatenate sibling PackedBFPLinears that consume the SAME input into
     one module (e.g. q/k/v projections): one fused kernel + one shared input
@@ -320,6 +419,15 @@ def compress_for_inference(dm) -> int:
                 value.in_features % value.weight_format.block_size == 0
             ):
                 _set(container, key, PackedBFPLinear.from_linear(value))
+                count += 1
+            elif isinstance(value, dmxnn.Linear) and isinstance(
+                value.weight_format, Same
+            ) and isinstance(
+                value.weight_storage_format, ScaledBlockFloatingPoint
+            ) and value.weight_storage_format.block_format.precision <= 4 and (
+                value.in_features % value.weight_storage_format.block_size == 0
+            ):
+                _set(container, key, PackedSBFPLinear.from_linear(value))
                 count += 1
             elif _is_module_container(value) and not isinstance(value, nnx.Variable):
                 walk(value)

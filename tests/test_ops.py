@@ -181,3 +181,84 @@ def test_inference_mode_same_values():
     with inference_mode():
         surrogate_only = np.asarray(mod(x))
     np.testing.assert_array_equal(blended, surrogate_only)
+
+
+class TestPackedSBFP:
+    """SBFP physical payloads: int4 nibbles + per-block scales
+    (serving path for the SBFP_WEIGHT_STORAGE configs)."""
+
+    FMT = "SBFP<XP[4,0](CSN)><FP[0|4|4,16](FN)>{16}"
+
+    def test_pack_unpack_bit_exact(self):
+        from dmx_compressor_tpu.numerics.format import Format
+        from dmx_compressor_tpu.ops.bfp_pack import sbfp_pack, sbfp_unpack
+
+        fmt = Format.from_shorthand(self.FMT)
+        rs = np.random.RandomState(0)
+        w = jnp.asarray(rs.randn(32, 64) * 0.3, jnp.float32)
+        w = w.at[0, :16].set(0.0)  # all-zero block
+        w = w.at[1, 16:32].multiply(100.0)  # big block
+        p = sbfp_pack(w, fmt)
+        assert p.nibbles.dtype == jnp.uint8
+        assert p.nibbles.shape == (32, 32)
+        assert p.scale.shape == (32, 4)
+        np.testing.assert_array_equal(
+            np.asarray(sbfp_unpack(p)), np.asarray(fmt.cast(w, -1))
+        )
+
+    def test_packed_sbfp_linear_matches_fake_quant(self):
+        from flax import nnx
+
+        from dmx_compressor_tpu import nn as dmxnn
+        from dmx_compressor_tpu.ops.compress import PackedSBFPLinear
+
+        lin = dmxnn.Linear(64, 32, rngs=nnx.Rngs(0))
+        lin.configure(dict(weight_storage_format=self.FMT))
+        x = jnp.asarray(np.random.RandomState(1).randn(4, 64), jnp.float32)
+        want = np.asarray(lin(x))
+        packed = PackedSBFPLinear.from_linear(lin)
+        got = np.asarray(packed(x))
+        # decode path: weights exact in bf16 (<= 8 significand bits);
+        # SAME-format activations round to bf16 (documented serving
+        # semantics, same as PackedBFPLinear)
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
+        # prefill path (rows >= 128) dequantizes f32: exact same weights
+        xb = jnp.asarray(np.random.RandomState(2).randn(256, 64), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(packed(xb)), np.asarray(lin(xb)), rtol=2e-3, atol=2e-6
+        )
+
+    def test_compress_for_inference_picks_sbfp(self):
+        from flax import nnx
+
+        from dmx_compressor_tpu.modeling.model import DmxModel
+        from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+        from dmx_compressor_tpu.ops.compress import (
+            PackedSBFPLinear,
+            compress_for_inference,
+        )
+
+        cfg = OPTConfig.tiny()
+        model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+        dm = DmxModel.from_raw(model)
+        from dmx_compressor_tpu import DmxConfigRule
+        from dmx_compressor_tpu import nn as dmxnn
+
+        dm.configure(
+            None,
+            DmxConfigRule(
+                module_types=(dmxnn.Linear,),
+                module_config=dict(weight_storage_format=self.FMT),
+            ),
+        )
+        x = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 8)).astype("int32")
+        want = np.asarray(dm(x))
+        n = compress_for_inference(dm)
+        assert n > 0
+        assert any(
+            isinstance(m, PackedSBFPLinear) for _, m in dm.named_dmx_modules()
+        )
+        got = np.asarray(dm(x))
+        # bf16-activation decode matmuls across the stack (serving
+        # semantics); logits track the fake-quant model closely
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=5e-2)
