@@ -35,7 +35,30 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
 
     model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
     dm = DmxModel.from_raw(model)
-    if mode in ("basic", "weights"):
+    if mode == "sbfp":
+        # SBFP12_16 weight storage served from packed int4 payloads
+        # (~0.56 B/elem; BASELINE.md OPT-1.3B SBFP row), activations native
+        from dmx_compressor_tpu import DmxConfigRule
+        from dmx_compressor_tpu import nn as dmxnn
+        from dmx_compressor_tpu.ops.compress import (
+            compress_for_inference,
+            set_inference_mode,
+        )
+
+        dm.configure(
+            None,
+            DmxConfigRule(
+                module_types=(dmxnn.Linear,),
+                module_config=dict(
+                    weight_storage_format="SBFP<XP[4,0](CSN)><FP[0|4|4,16](FN)>{16}"
+                ),
+            ),
+        )
+        compress_for_inference(dm)
+        set_inference_mode(True)
+        caches = model.init_cache(batch, prompt_len + gen_len - 1,
+                                  quantized=quantized_kv)
+    elif mode in ("basic", "weights"):
         dm.to_basic_mode()
         from dmx_compressor_tpu.functional.approximate import NoApproximation
         from dmx_compressor_tpu.ops.compress import (
@@ -161,7 +184,7 @@ def main():
     # int8 quantized KV cache (ops/kv_cache.py) is part of the headline
     # serving config (BASELINE.md's own OPT recipe includes a quantized KV
     # cache); pass "fpkv" to measure with a full-precision cache instead.
-    qkv = mode == "weights" and "fpkv" not in sys.argv[3:]
+    qkv = mode in ("weights", "sbfp") and "fpkv" not in sys.argv[3:]
     long_ctx = "long" in sys.argv[3:]  # decode at ~2k context (KV-bound regime)
     cfg = {
         "opt-125m": OPTConfig.opt_125m,
@@ -171,7 +194,7 @@ def main():
     lens = {"prompt_len": 1984, "gen_len": 65} if long_ctx else {}
     quant = run(mode, cfg, quantized_kv=qkv, **lens)
     base = run("baseline", cfg, **lens)
-    tag = "bfp16w" if mode == "weights" else mode
+    tag = {"weights": "bfp16w", "sbfp": "sbfp12w"}.get(mode, mode)
     if qkv:
         tag += "_int8kv"
     if long_ctx:
