@@ -262,3 +262,20 @@ class TestPackedSBFP:
         # bf16-activation decode matmuls across the stack (serving
         # semantics); logits track the fake-quant model closely
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=5e-2)
+
+
+def test_compress_packs_mxint_weights():
+    """MXINT8 (OCP microscaling int) is a BFP subclass: the packed serving
+    path covers it unchanged."""
+    from flax import nnx
+
+    from dmx_compressor_tpu import nn as dmxnn
+    from dmx_compressor_tpu.ops.compress import PackedBFPLinear
+
+    lin = dmxnn.Linear(64, 32, rngs=nnx.Rngs(0))
+    lin.configure(dict(weight_format="MXINT8{32}"))
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 64), jnp.float32)
+    want = np.asarray(lin(x))
+    packed = PackedBFPLinear.from_linear(lin)
+    got = np.asarray(packed(x))
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
