@@ -164,3 +164,138 @@ def bfp_linear(
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y.reshape(*lead, N).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# SBFP: fused dequant-matmul over int4-range mantissas + per-block fp scales
+# ---------------------------------------------------------------------------
+
+
+def sbfp_linear_ref(x: Array, w, bias: Optional[Array] = None) -> Array:
+    """jnp reference path: unpack then matmul."""
+    from .bfp_pack import sbfp_unpack
+
+    wf = sbfp_unpack(w)
+    y = jnp.matmul(x, wf.T.astype(x.dtype), preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "bn", "interpret")
+)
+def _sbfp_matmul_pallas(
+    x: Array,  # [M, K] f32/bf16
+    man: Array,  # [N, K] int8 (int4-range values)
+    scale: Array,  # [N, K // block_size] f32 (scaler-format-cast block maxes)
+    block_size: int,
+    bn: int = 256,
+    interpret: bool = False,
+):
+    """Same tiling as _bfp_matmul_pallas; the per-block scale is a direct
+    f32 value instead of a power-of-two exponent (SBFP semantics)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    N = man.shape[0]
+    bm = max(8, min(128, _ceil_to(M, 8)))
+    bn = min(bn, _ceil_to(N, 128))
+    bk = min(_ceil_to(K, block_size), 2048)
+    padM, padN, padK = (-M) % bm, (-N) % bn, (-K) % bk
+    if padM:
+        x = jnp.pad(x, ((0, padM), (0, 0)))
+    if padN:
+        man = jnp.pad(man, ((0, padN), (0, 0)))
+        scale = jnp.pad(scale, ((0, padN), (0, 0)))
+    if padK:
+        x = jnp.pad(x, ((0, 0), (0, padK)))
+        man = jnp.pad(man, ((0, 0), (0, padK)))
+        scale = jnp.pad(scale, ((0, 0), (0, padK // block_size)))
+    Mp, Np, Kp = M + padM, N + padN, K + padK
+    grid = (Mp // bm, Np // bn, Kp // bk)
+
+    nb = bk // block_size
+    nt = Kp // bk
+    ESLOT = max(128, _ceil_to(nb, 128))
+    scale_slotted = jnp.pad(
+        scale.reshape(Np, nt, nb), ((0, 0), (0, 0), (0, ESLOT - nb))
+    ).reshape(Np, nt * ESLOT)
+
+    def kernel(x_ref, man_ref, scale_ref, out_ref):
+        s = scale_ref[:].astype(jnp.float32)  # [bn, ESLOT]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ESLOT, bk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ESLOT, bk), 1)
+        expand = (cols // block_size == rows).astype(jnp.float32)
+        scale_full = jax.lax.dot_general(
+            s, expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = man_ref[:].astype(jnp.float32) * scale_full
+        partial = jax.lax.dot_general(
+            x_ref[:].astype(jnp.float32), w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            out_ref[:] = partial
+
+        @pl.when(pl.program_id(2) != 0)
+        def _():
+            out_ref[:] = out_ref[:] + partial
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, t: (i, t)),
+            pl.BlockSpec((bn, bk), lambda i, j, t: (j, t)),
+            pl.BlockSpec((bn, ESLOT), lambda i, j, t: (j, t)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, t: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, man, scale_slotted)
+    return out[:M, :N]
+
+
+def sbfp_unpack_mantissa_int8(nibbles: Array) -> Array:
+    """Two's-complement nibble payload -> int8 mantissas [..., 2 * half]."""
+    b = nibbles.astype(jnp.int32)
+    lo = b & 0xF
+    lo = lo - ((lo > 7) << 4)
+    hi = (b >> 4) & 0xF
+    hi = hi - ((hi > 7) << 4)
+    *lead, half = b.shape
+    return jnp.stack([lo, hi], axis=-1).reshape(*lead, half * 2).astype(jnp.int8)
+
+
+def sbfp_linear(
+    x: Array,
+    w,
+    bias: Optional[Array] = None,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> Array:
+    """y = x @ dequant(sbfp).T + bias with fused on-chip dequantization."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not use_pallas and not interpret:
+        return sbfp_linear_ref(x, w, bias)
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    man = sbfp_unpack_mantissa_int8(w.nibbles)
+    N = man.shape[0]
+    y = _sbfp_matmul_pallas(
+        x2, man, w.scale, w.block_size, interpret=interpret
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.reshape(*lead, N).astype(x.dtype)

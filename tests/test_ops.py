@@ -279,3 +279,22 @@ def test_compress_packs_mxint_weights():
     packed = PackedBFPLinear.from_linear(lin)
     got = np.asarray(packed(x))
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
+
+
+def test_sbfp_fused_kernel_interpret_exact():
+    """Fused SBFP dequant-matmul (Pallas) == unpack-then-matmul reference,
+    validated in interpret mode on CPU (odd shapes exercise padding)."""
+    from dmx_compressor_tpu.numerics.format import Format
+    from dmx_compressor_tpu.ops.bfp_linear import sbfp_linear, sbfp_linear_ref
+    from dmx_compressor_tpu.ops.bfp_pack import sbfp_pack
+
+    fmt = Format.from_shorthand("SBFP<XP[4,0](CSN)><FP[0|4|4,16](FN)>{16}")
+    rs = np.random.RandomState(0)
+    for M, N, K in [(8, 48, 80), (3, 33, 48), (130, 256, 160)]:
+        w = jnp.asarray(rs.randn(N, K) * 0.3, jnp.float32)
+        p = sbfp_pack(w, fmt)
+        x = jnp.asarray(rs.randn(M, K), jnp.float32)
+        b = jnp.asarray(rs.randn(N), jnp.float32)
+        ref = np.asarray(sbfp_linear_ref(x, p, b))
+        pal = np.asarray(sbfp_linear(x, p, b, use_pallas=True, interpret=True))
+        np.testing.assert_allclose(pal, ref, atol=1e-5, rtol=1e-6)
