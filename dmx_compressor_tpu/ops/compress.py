@@ -284,9 +284,12 @@ class PackedSBFPLinear(DmxModule):
                 preferred_element_type=jnp.float32,
             )
         else:
-            y = jnp.matmul(
-                _input.astype(jnp.float32), sbfp_unpack(self.packed).T
-            )
+            # fused on-chip dequant (Pallas on TPU; unpack-matmul reference
+            # elsewhere) — the int4 payload + per-block scales never
+            # materialize as a full f32 weight in HBM
+            from .bfp_linear import sbfp_linear
+
+            y = sbfp_linear(_input.astype(jnp.float32), self.packed)
         if self.bias is not None:
             y = y + self._bias.astype(y.dtype)
         return y.astype(_input.dtype)
