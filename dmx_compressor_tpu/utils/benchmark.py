@@ -165,11 +165,12 @@ def top_cast_cost_layers(
     return deltas[:k]
 
 
-def measure_model_error(
+def mode_output_error(
     outputs: Dict[str, jax.Array], reference_mode: str = EVALUATION_MODE.VANILLA.value
 ) -> Dict[str, Dict[str, float]]:
-    """Output error of each mode vs a reference mode (reference
-    measure_model_error per examples/benchmarking/README.md)."""
+    """Output error of each mode vs a reference mode, from precomputed
+    outputs (convenience variant; the reference-contract entry point is
+    :func:`measure_model_error` below)."""
     ref = np.asarray(outputs[reference_mode], np.float64)
     rows = {}
     for mode, out in outputs.items():
@@ -213,3 +214,260 @@ def evaluate_vsimd_ops_deltas(
         "basic_novsimd_s": novsimd_time,
         "vsimd_delta_s": basic_time - novsimd_time,
     }
+
+
+# ---------------------------------------------------------------------------
+# model_maker-contract entry points (reference benchmark.py:30-72, 175-281,
+# 284-387, 413-531): a ``model_maker`` is a zero-arg callable returning
+# ``(model, model_runner, model_evaluator)`` — the reference's 4th member
+# (torch.device) has no TPU analogue and is accepted-and-ignored when
+# present.  ``model_runner(model)`` pushes one sample input through;
+# ``model_evaluator(model, mode_desc)`` returns a {metric: value} dict.
+# ---------------------------------------------------------------------------
+
+
+def _call_model_maker(model_maker):
+    out = model_maker()
+    if len(out) == 4:  # (model, runner, evaluator, device) — reference shape
+        model, runner, evaluator, _ = out
+    else:
+        model, runner, evaluator = out
+    return model, runner, evaluator
+
+
+def prepare_model(model, evaluation_mode: EVALUATION_MODE, model_runner):
+    """DmxModel-wrap + mode-configure; returns ``(model,
+    vsimd_modules_by_type)`` (reference prepare_model, benchmark.py:30-72).
+
+    VANILLA returns the raw model untouched.  Other modes wrap via
+    ``DmxModel.from_raw`` (unless already wrapped), apply the mode's rule
+    set, and run one sample forward so lazy transforms/jit traces land
+    outside the measured region.  BASIC additionally records which modules
+    carry approximation surrogates, keyed by module type — and
+    BASIC_NOVSIMD strips them (the vsimd-delta denominator).
+    """
+    from collections import defaultdict
+
+    vsimd_modules_by_type = defaultdict(list)
+    if evaluation_mode == EVALUATION_MODE.VANILLA:
+        return model, vsimd_modules_by_type
+
+    from ..modeling.model import DmxModel
+
+    dm = model if isinstance(model, DmxModel) else DmxModel.from_raw(model)
+    if evaluation_mode in (EVALUATION_MODE.BASIC, EVALUATION_MODE.BASIC_NOVSIMD):
+        # configure as BASIC first so the approximated modules can be
+        # recorded (the vsimd-delta bookkeeping) before NOVSIMD strips them
+        configure_mode(dm, EVALUATION_MODE.BASIC)
+        from ..functional.approximate import NoApproximation
+
+        for name, m in dm.named_dmx_modules():
+            if not isinstance(m.approximator.function, NoApproximation):
+                if evaluation_mode == EVALUATION_MODE.BASIC_NOVSIMD:
+                    m.approximator.function = NoApproximation()
+                vsimd_modules_by_type[type(m).__name__].append(name)
+    else:
+        configure_mode(dm, evaluation_mode)
+    model_runner(dm)
+    return dm, vsimd_modules_by_type
+
+
+def _measure_mode_perf_dm(model, model_runner, evaluation_mode,
+                          n_warmup_runs: int = 1, n_measure_runs: int = 3):
+    """Per-mode runtime record (reference measure_mode_perf,
+    benchmark.py:75-138): VANILLA times the whole runner; Dmx modes time
+    every DmxModule individually (eager per-module sync — meaningful
+    relatively) and report their sum as total."""
+    model, vsimd_modules_by_type = prepare_model(
+        model, evaluation_mode, model_runner
+    )
+    for _ in range(n_warmup_runs):
+        device_sync(model_runner(model))
+
+    if evaluation_mode == EVALUATION_MODE.VANILLA:
+        t1 = time.perf_counter()
+        for _ in range(n_measure_runs):
+            device_sync(model_runner(model))
+        t2 = time.perf_counter()
+        return {"total_time": (t2 - t1) / n_measure_runs,
+                "per_layer_times": {}, "vsimd_modules_by_type": {}}
+
+    mod_names = [name for name, _ in model.named_dmx_modules()]
+    all_runtimes = []
+    try:
+        for _ in range(n_measure_runs):
+            with model.measure_runtimes(mod_names) as rt:
+                device_sync(model_runner(model))
+            all_runtimes.append(rt.get_records())
+    except jax.errors.ConcretizationTypeError:
+        # the runner executes under jit (e.g. a scan decode loop) — per-layer
+        # host readbacks are impossible inside the trace; report whole-model
+        # wall-clock only
+        t1 = time.perf_counter()
+        for _ in range(n_measure_runs):
+            device_sync(model_runner(model))
+        t2 = time.perf_counter()
+        return {"total_time": (t2 - t1) / n_measure_runs,
+                "per_layer_times": {},
+                "vsimd_modules_by_type": dict(vsimd_modules_by_type)}
+    per_layer = {
+        k: sum(sum(run.get(k, [])) for run in all_runtimes) / n_measure_runs
+        for k in mod_names
+    }
+    return {
+        "total_time": sum(per_layer.values()),
+        "per_layer_times": per_layer,
+        "vsimd_modules_by_type": dict(vsimd_modules_by_type),
+    }
+
+
+def measure_model_runtime(model_maker, modes: List[EVALUATION_MODE],
+                          n_measure_runs: int = 3) -> Dict[str, Dict]:
+    """Per-mode runtime statistics table (reference measure_model_runtime,
+    benchmark.py:174-245): max memory + total time + per-layer rows as a
+    GitHub-markdown table, plus the vsimd-delta table when both BASIC and
+    BASIC_NOVSIMD are measured.  Returns the records for programmatic use
+    (the reference only prints)."""
+    results: Dict[str, Dict] = {}
+    layer_names: List[str] = []
+    for mode in modes:
+        print(f"Starting runtime measurements for mode {mode.value}")
+        model, model_runner, _ = _call_model_maker(model_maker)
+        results[mode.value] = _measure_mode_perf_dm(
+            model, model_runner, mode, n_measure_runs=n_measure_runs
+        )
+        mem = peak_memory_bytes()
+        results[mode.value]["max_memory"] = mem if mem is not None else 0
+        if len(results[mode.value]["per_layer_times"]) > len(layer_names):
+            layer_names = list(results[mode.value]["per_layer_times"].keys())
+
+    header = ["mode", "max memory (GB)", "total time (s)", *layer_names]
+    lines = ["| " + " | ".join(header) + " |",
+             "|---" * len(header) + "|"]
+    for k, rec in results.items():
+        row = [k, f"{rec['max_memory'] / 2**30:.4g}", f"{rec['total_time']:.6g}"]
+        row += [f"{rec['per_layer_times'].get(n, 0.0):.6g}" for n in layer_names]
+        lines.append("| " + " | ".join(row) + " |")
+    print("\n".join(lines))
+
+    deltas = vsimd_ops_deltas(results)
+    if deltas is not None:
+        print("\n### VSIMD operations\n")
+        base = results[EVALUATION_MODE.BASIC_NOVSIMD.value]["total_time"]
+        print("| Layer type | Time delta (s) | Total run time (s) |")
+        print("|---|---|---|")
+        print(f"| (BASIC mode time without VSIMD ops) |  | {base:.6g} |")
+        acc = base
+        for type_name, d in deltas.items():
+            acc += d
+            print(f"| {type_name} | {d:.6g} | {acc:.6g} |")
+    return results
+
+
+def vsimd_ops_deltas(results: Dict[str, Dict]) -> Optional[Dict[str, float]]:
+    """Per-module-type runtime cost of the approximation surrogates:
+    BASIC minus BASIC_NOVSIMD per-layer sums (reference
+    evaluate_vsimd_ops_deltas, benchmark.py:140-171)."""
+    b = EVALUATION_MODE.BASIC.value
+    nb = EVALUATION_MODE.BASIC_NOVSIMD.value
+    if b not in results or nb not in results:
+        return None
+    by_type = results[nb]["vsimd_modules_by_type"]
+    out = {}
+    for type_name, layer_names in by_type.items():
+        tb = sum(results[b]["per_layer_times"].get(n, 0.0) for n in layer_names)
+        tn = sum(results[nb]["per_layer_times"].get(n, 0.0) for n in layer_names)
+        out[type_name] = tb - tn
+    return out
+
+
+def measure_model_accuracy(model_maker, modes: List[EVALUATION_MODE]
+                           ) -> Dict[str, Dict[str, float]]:
+    """Accuracy metrics per mode (reference measure_model_accuracy,
+    benchmark.py:246-281): fresh model per mode, mode-configure, run the
+    maker's evaluator, print one metrics-by-mode markdown table."""
+    results: Dict[str, Dict[str, float]] = {}
+    for mode in modes:
+        print(f"Starting evaluation for mode {mode.value}")
+        model, model_runner, evaluation_fn = _call_model_maker(model_maker)
+        model, _ = prepare_model(model, mode, model_runner)
+        results[mode.value] = evaluation_fn(model, mode.value)
+    metric_names = list(next(iter(results.values())).keys())
+    lines = ["| metric | " + " | ".join(results) + " |",
+             "|---" * (len(results) + 1) + "|"]
+    for metric in metric_names:
+        vals = [f"{results[k][metric]:.6g}" for k in results]
+        lines.append(f"| {metric} | " + " | ".join(vals) + " |")
+    print("\n".join(lines))
+    return results
+
+
+def collect_layer_activations(model_maker, mode: EVALUATION_MODE):
+    """Per-DmxModule output activations for one mode (reference
+    collect_layer_activations, benchmark.py:284-331): returns
+    ``(mods_dict, monitoring_records, final_output)``; VANILLA has no
+    DmxModules so returns empty dicts + the output."""
+    model, model_runner, _ = _call_model_maker(model_maker)
+    model, _ = prepare_model(model, mode, model_runner)
+    if mode == EVALUATION_MODE.VANILLA:
+        return {}, {}, model_runner(model)
+    mods_dict = dict(model.named_dmx_modules())
+    with model.monitoring(list(mods_dict)) as mon:
+        final_output = model_runner(model)
+    return mods_dict, mon.records, final_output
+
+
+def gather_tensors(tensor_collection) -> List[jax.Array]:
+    """Flatten arbitrary nested structures to the arrays inside (reference
+    gather_tensors, benchmark.py:413-449)."""
+    return [x for x in jax.tree.leaves(tensor_collection) if hasattr(x, "dtype")]
+
+
+def compute_error(out1, out2) -> Dict[str, float]:
+    """MSE + max-abs-delta over paired tensor collections (reference
+    compute_error, benchmark.py:452-497)."""
+    t1, t2 = gather_tensors(out1), gather_tensors(out2)
+    mse = sum(
+        float(jnp.mean((jnp.asarray(x, jnp.float32) - jnp.asarray(y, jnp.float32)) ** 2))
+        for x, y in zip(t1, t2)
+    )
+    maxdelta = max(
+        [float(jnp.max(jnp.abs(jnp.asarray(x, jnp.float32) - jnp.asarray(y, jnp.float32))))
+         for x, y in zip(t1, t2)] + [0.0]
+    )
+    return {"mse": mse, "maxdelta": maxdelta}
+
+
+def measure_model_error(model_maker, modes: List[EVALUATION_MODE],
+                        reference_mode: EVALUATION_MODE = EVALUATION_MODE.BASELINE
+                        ) -> Dict[str, Dict]:
+    """Per-layer + final-output error of each mode vs a reference mode
+    (reference measure_model_error, benchmark.py:500-531): collects every
+    DmxModule's monitored outputs under each mode and prints per-layer
+    mse/maxdelta tables."""
+    print(f"collecting activations for reference {reference_mode.value}")
+    _, ref_acts, ref_out = collect_layer_activations(model_maker, reference_mode)
+    results: Dict[str, Dict] = {}
+    for mode in modes:
+        if mode == reference_mode:
+            continue
+        print(f"collecting activations for mode {mode.value}")
+        _, acts, out = collect_layer_activations(model_maker, mode)
+        per_layer = {}
+        for name, rec in acts.items():
+            if name in ref_acts:
+                per_layer[name] = compute_error(
+                    list(rec.outputs), list(ref_acts[name].outputs)
+                )
+        results[mode.value] = {
+            "per_layer": per_layer,
+            "final_output": compute_error(out, ref_out),
+        }
+        lines = [f"### {mode.value} vs {reference_mode.value}",
+                 "| layer | mse | maxdelta |", "|---|---|---|"]
+        for name, err in per_layer.items():
+            lines.append(f"| {name} | {err['mse']:.6g} | {err['maxdelta']:.6g} |")
+        fo = results[mode.value]["final_output"]
+        lines.append(f"| (final output) | {fo['mse']:.6g} | {fo['maxdelta']:.6g} |")
+        print("\n".join(lines))
+    return results

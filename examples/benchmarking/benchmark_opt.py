@@ -17,7 +17,7 @@ from dmx_compressor_tpu.utils.benchmark import (
     EVALUATION_MODE,
     configure_mode,
     markdown_table,
-    measure_model_error,
+    mode_output_error,
     measure_runtime,
 )
 
@@ -48,7 +48,7 @@ def main():
 
     print(markdown_table(runtimes, "Per-mode runtime"))
     print()
-    print(markdown_table(measure_model_error(outputs), "Output error vs Vanilla"))
+    print(markdown_table(mode_output_error(outputs), "Output error vs Vanilla"))
 
 
 if __name__ == "__main__":

@@ -155,7 +155,7 @@ def test_benchmark_tables_and_modes():
         EVALUATION_MODE,
         configure_mode,
         markdown_table,
-        measure_model_error,
+        mode_output_error,
         measure_runtime,
     )
     from dmx_compressor_tpu.modeling.model import DmxModel
@@ -177,7 +177,7 @@ def test_benchmark_tables_and_modes():
     for mode in [EVALUATION_MODE.BASELINE, EVALUATION_MODE.BASIC, EVALUATION_MODE.BASIC_NOVSIMD]:
         configure_mode(dm, mode)
         outputs[mode.value] = dm(x)
-    errs = measure_model_error(outputs)
+    errs = mode_output_error(outputs)
     assert errs["Baseline"]["max_abs_err"] < 1e-5
     assert errs["Basic"]["max_abs_err"] > 0
     # NoVSIMD strips approximations but keeps quantization
