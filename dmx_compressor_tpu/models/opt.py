@@ -371,11 +371,29 @@ class OPTDecoder(nnx.Module):
                  apply_final_ln=True):
         B, T = input_ids.shape
         x = self.embed_tokens(input_ids)
-        positions = jnp.arange(T) + position_offset + 2
-        x = x + self.embed_positions(positions)[None]
+        per_row = (
+            not isinstance(position_offset, int)
+            and jnp.ndim(position_offset) == 1
+        )
+        if per_row:
+            # continuous batching: every row sits at its own offset
+            # (serving/engine.py); positions [B, T], mask [B, 1, T, S]
+            off = jnp.asarray(position_offset, jnp.int32)  # [B]
+            positions = jnp.arange(T)[None, :] + off[:, None] + 2
+            x = x + self.embed_positions(positions)
+        else:
+            positions = jnp.arange(T) + position_offset + 2
+            x = x + self.embed_positions(positions)[None]
 
         # causal mask; with a cache, queries attend to all filled slots
-        if caches is not None:
+        if caches is not None and per_row:
+            S = getattr(caches[0], "seq_len", None) or caches[0].k.value.shape[2]
+            kpos = jnp.arange(S)
+            qpos = jnp.arange(T)[None, :] + off[:, None]  # [B, T]
+            mask = jnp.where(
+                kpos[None, None, None, :] <= qpos[:, None, :, None], 0.0, -1e4
+            ).astype(x.dtype)
+        elif caches is not None:
             S = getattr(caches[0], "seq_len", None) or caches[0].k.value.shape[2]
             kpos = jnp.arange(S)[None, :]
             qpos = (jnp.arange(T) + position_offset)[:, None]
@@ -445,7 +463,8 @@ class OPTForCausalLM(nnx.Module):
 
     def init_cache(self, batch: int, max_len: int, dtype=None,
                    quantized: bool = False,
-                   split_base_len: Optional[int] = None):
+                   split_base_len: Optional[int] = None,
+                   per_row: bool = False):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -456,6 +475,7 @@ class OPTForCausalLM(nnx.Module):
             dtype or cfg.dtype,
             quantized=quantized,
             split_base_len=split_base_len,
+            per_row=per_row,
         )
 
 

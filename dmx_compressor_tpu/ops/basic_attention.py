@@ -92,9 +92,12 @@ def basic_sdpa_decode(
     assert q.shape == (B, H, 1, D)
     wl, block = params.wl, params.block
     nb = S // block
-    mask_row = jnp.broadcast_to(
-        jnp.asarray(mask_row, jnp.float32).reshape(-1)[-S:], (S,)
-    )
+    mask_row = jnp.asarray(mask_row, jnp.float32)
+    if mask_row.ndim >= 2 and mask_row.shape[0] == B and B > 1:
+        # per-row masks (continuous batching: each slot at its own offset)
+        mask_row = mask_row.reshape(B, 1, 1, S)
+    else:
+        mask_row = jnp.broadcast_to(mask_row.reshape(-1)[-S:], (S,))
 
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)

@@ -273,6 +273,64 @@ class SplitKVCache(nnx.Module):
         )
 
 
+class RowKVCache(nnx.Module):
+    """Continuous-batching cache: every batch row has its OWN fill point
+    (``lengths[B]``), so one decode dispatch serves slots at different
+    sequence positions.  Appends scatter per row via a vmapped
+    ``dynamic_update_slice``; engine prefills copy a freshly-filled
+    single-request cache row in with :meth:`write_row`.
+
+    No reference analogue (the reference has no serving runtime at all) —
+    this is the static-shape TPU equivalent of slot-based continuous
+    batching: shapes never change, only the per-row offsets do.
+    """
+
+    quantized = False
+    row = True
+
+    def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
+                 dtype=jnp.float32):
+        self.k = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
+        self.v = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
+        self.lengths = nnx.Variable(jnp.zeros((batch,), jnp.int32))
+
+    @property
+    def length(self):
+        # duck-type compat for code that reads a scalar fill point; per-row
+        # consumers must use .lengths
+        return nnx.Variable(jnp.max(self.lengths.value))
+
+    def update(self, k_new: Array, v_new: Array):
+        """Append [B,H,T,D] at each row's own fill point; rows past
+        ``max_len`` clamp to the final window (their outputs are masked by
+        construction)."""
+        pos = self.lengths.value  # [B]
+        write = jax.vmap(
+            lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
+        )
+        self.k.value = write(self.k.value, k_new.astype(self.k.value.dtype), pos)
+        self.v.value = write(self.v.value, v_new.astype(self.v.value.dtype), pos)
+        self.lengths.value = pos + k_new.shape[2]
+        return self.k.value, self.v.value, self.lengths.value
+
+    def write_row(self, b, k_row: Array, v_row: Array,
+                  length: Optional[int] = None) -> None:
+        """Install a prefilled row: ``k_row``/``v_row`` are [H, T, D] from a
+        single-request prefill cache.  ``length`` resets the row's fill
+        point (defaults to T); bucket-padded garbage beyond it is masked by
+        construction and overwritten by subsequent appends."""
+        T = k_row.shape[1]
+        self.k.value = jax.lax.dynamic_update_slice(
+            self.k.value, k_row[None].astype(self.k.value.dtype), (b, 0, 0, 0)
+        )
+        self.v.value = jax.lax.dynamic_update_slice(
+            self.v.value, v_row[None].astype(self.v.value.dtype), (b, 0, 0, 0)
+        )
+        self.lengths.value = self.lengths.value.at[b].set(
+            T if length is None else length
+        )
+
+
 def make_caches(
     n_layers: int,
     batch: int,
@@ -282,7 +340,14 @@ def make_caches(
     dtype=jnp.float32,
     quantized: bool = False,
     split_base_len: Optional[int] = None,
+    per_row: bool = False,
 ):
+    if per_row:
+        assert not quantized and split_base_len is None
+        return [
+            RowKVCache(batch, heads, max_len, head_dim, dtype)
+            for _ in range(n_layers)
+        ]
     if split_base_len is not None:
         assert not quantized
         return [

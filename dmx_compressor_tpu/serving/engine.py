@@ -1,0 +1,232 @@
+"""Continuous-batching serving engine (slot-based, static shapes).
+
+Production serving surface with NO reference analogue (the reference is a
+fake-quant simulator; its only runtime is a HF pipeline wrapper,
+hf.py:314-361).  TPU-native design:
+
+- **Static shapes everywhere.**  The engine owns a fixed-slot batch
+  (``max_slots`` rows) and a fixed-capacity per-row KV cache
+  (:class:`~..ops.kv_cache.RowKVCache`): shapes never change across the
+  lifetime of the engine, so XLA compiles exactly two device programs —
+  one prefill per prompt-length bucket and ONE decode step — and never
+  recompiles as requests come and go.
+- **Per-row offsets instead of re-batching.**  Each slot sits at its own
+  sequence position (``RowKVCache.lengths``); a single decode dispatch
+  advances every active slot by one token with per-row positions and
+  per-row causal masks (models/opt.py per-row ``position_offset``).
+- **Prefill-to-slot.**  A new request prefills in isolation (batch 1,
+  prompt right-padded to a bucket) and its K/V rows are scattered into
+  the free slot — decode latency of resident requests is unaffected by
+  admission compute only to the extent of the one prefill dispatch
+  (chunked prefill interleaving is a planned refinement).
+
+Works with any quantization configuration: the engine drives the live
+(possibly ``compress_for_inference``-packed) modules, so packed-BFP fused
+kernels, int8 activations, etc. all apply unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from collections import deque
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    request_id: int
+    prompt_len: int
+    tokens: List[int]  # generated tokens (prompt excluded)
+    finish_reason: str  # "eos" | "length"
+
+
+@dataclasses.dataclass
+class _Request:
+    request_id: int
+    prompt: np.ndarray  # [T] int32
+    max_new_tokens: int
+    eos_token_id: Optional[int]
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Optional[_Request] = None
+    generated: List[int] = dataclasses.field(default_factory=list)
+    last_token: int = 0
+
+    @property
+    def active(self) -> bool:
+        return self.request is not None
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over an OPT-family causal LM.
+
+    The model must expose ``init_cache(..., per_row=True)`` and accept a
+    per-row ``position_offset`` array (models/opt.py).  Any Dmx
+    configuration (fake-quant casts, packed serving kernels) applies —
+    the engine runs the live module tree.
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        max_slots: int = 4,
+        max_len: int = 512,
+        prompt_buckets: tuple = (16, 32, 64, 128),
+        pad_id: int = 0,
+    ):
+        self.model = model
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.prompt_buckets = tuple(sorted(prompt_buckets))
+        self.pad_id = pad_id
+        self.caches = model.init_cache(max_slots, max_len, per_row=True)
+        self.slots = [_Slot() for _ in range(max_slots)]
+        self.queue: deque[_Request] = deque()
+        self.finished: List[GenerationResult] = []
+        self._ids = itertools.count()
+        self._prefill_fns: Dict[int, callable] = {}
+        self._decode_fn = None
+
+    # ------------------------------------------------------------- intake
+
+    def submit(self, prompt_ids, max_new_tokens: int = 16,
+               eos_token_id: Optional[int] = None) -> int:
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        assert prompt.size > 0, "empty prompt"
+        assert prompt.size <= max(self.prompt_buckets), (
+            f"prompt length {prompt.size} exceeds the largest bucket "
+            f"{max(self.prompt_buckets)}"
+        )
+        assert prompt.size + max_new_tokens <= self.max_len
+        rid = next(self._ids)
+        self.queue.append(
+            _Request(rid, prompt, max_new_tokens, eos_token_id)
+        )
+        return rid
+
+    # ------------------------------------------------------------ prefill
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        raise AssertionError("submit() bounds-checked this")
+
+    def _prefill_fn(self, bucket: int):
+        """Jitted single-request prefill at one bucketed length: fresh
+        batch-1 caches, returns stacked per-layer K/V rows + the greedy
+        next token at the true prompt boundary."""
+        if bucket in self._prefill_fns:
+            return self._prefill_fns[bucket]
+        graphdef = nnx.split(self.model)[0]
+
+        @jax.jit
+        def prefill(model_state, ids, true_len):
+            mod = nnx.merge(graphdef, model_state)
+            caches = mod.init_cache(1, bucket)
+            logits = mod(ids, caches=caches, position_offset=0)
+            k = jnp.stack([c.k.value[0] for c in caches])  # [L, H, bucket, D]
+            v = jnp.stack([c.v.value[0] for c in caches])
+            nxt = jnp.argmax(logits[0, true_len - 1], axis=-1).astype(jnp.int32)
+            return k, v, nxt
+
+        self._prefill_fns[bucket] = prefill
+        return prefill
+
+    def _admit(self) -> None:
+        for b, slot in enumerate(self.slots):
+            if not self.queue:
+                return
+            if slot.active:
+                continue
+            req = self.queue.popleft()
+            bucket = self._bucket_for(req.prompt.size)
+            ids = np.full((1, bucket), self.pad_id, np.int32)
+            ids[0, : req.prompt.size] = req.prompt
+            model_state = nnx.split(self.model)[1]
+            k, v, nxt = self._prefill_fn(bucket)(
+                model_state, jnp.asarray(ids), req.prompt.size
+            )
+            # scatter the prefilled row into this slot; right-pad garbage
+            # beyond true_len is masked by lengths[b] and overwritten by
+            # subsequent appends
+            for li, cache in enumerate(self.caches):
+                cache.write_row(b, k[li], v[li], length=req.prompt.size)
+            slot.request = req
+            slot.generated = [int(nxt)]
+            slot.last_token = int(nxt)
+            self._retire_if_done(b)
+
+    # ------------------------------------------------------------- decode
+
+    def _decode(self):
+        if self._decode_fn is None:
+            graphdef = nnx.split((self.model, self.caches))[0]
+
+            @jax.jit
+            def step(state, toks):
+                mod, caches = nnx.merge(graphdef, state)
+                off = caches[0].lengths.value  # [B] per-row positions
+                logits = mod(toks, caches=caches, position_offset=off)
+                _, new_state = nnx.split((mod, caches))
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return new_state, nxt
+
+            self._decode_fn = step
+        return self._decode_fn
+
+    def _retire_if_done(self, b: int) -> None:
+        slot = self.slots[b]
+        req = slot.request
+        done_eos = (
+            req.eos_token_id is not None and slot.generated
+            and slot.generated[-1] == req.eos_token_id
+        )
+        done_len = len(slot.generated) >= req.max_new_tokens
+        if done_eos or done_len:
+            self.finished.append(
+                GenerationResult(
+                    request_id=req.request_id,
+                    prompt_len=int(req.prompt.size),
+                    tokens=list(slot.generated),
+                    finish_reason="eos" if done_eos else "length",
+                )
+            )
+            slot.request = None
+            slot.generated = []
+
+    def step(self) -> List[GenerationResult]:
+        """Admit queued requests into free slots, advance every active slot
+        by one token, and return newly finished results."""
+        n_done = len(self.finished)
+        self._admit()
+        if any(s.active for s in self.slots):
+            toks = jnp.asarray(
+                [[s.last_token] for s in self.slots], jnp.int32
+            )
+            state = nnx.split((self.model, self.caches))[1]
+            state, nxt = self._decode()(state, toks)
+            nnx.update((self.model, self.caches), state)
+            nxt = np.asarray(nxt)
+            for b, slot in enumerate(self.slots):
+                if not slot.active:
+                    continue
+                slot.generated.append(int(nxt[b]))
+                slot.last_token = int(nxt[b])
+                self._retire_if_done(b)
+        return self.finished[n_done:]
+
+    def run(self) -> List[GenerationResult]:
+        """Drain the queue and all active slots to completion."""
+        while self.queue or any(s.active for s in self.slots):
+            self.step()
+        return self.finished

@@ -1,0 +1,175 @@
+"""Continuous-batching serving engine (serving/engine.py): slot admission,
+per-row offsets, greedy parity with isolated generation, slot reuse, eos
+stopping, and quantized-serving configurations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+from dmx_compressor_tpu.serving import ContinuousBatchingEngine
+
+CFG = OPTConfig(
+    vocab_size=97,
+    hidden_size=64,
+    ffn_dim=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    max_position_embeddings=64,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def make_model():
+    return OPTForCausalLM(CFG, rngs=nnx.Rngs(0))
+
+
+def ref_generate(model, prompt: np.ndarray, n_new: int, max_len: int = 48):
+    """Isolated greedy generation with a plain scalar-offset cache — the
+    correctness oracle the engine must reproduce per request."""
+    caches = model.init_cache(1, max_len)
+    logits = model(jnp.asarray(prompt[None], jnp.int32), caches=caches,
+                   position_offset=0)
+    tok = int(jnp.argmax(logits[0, -1]))
+    out = [tok]
+    for i in range(n_new - 1):
+        logits = model(jnp.asarray([[tok]], jnp.int32), caches=caches,
+                       position_offset=int(prompt.size) + i)
+        tok = int(jnp.argmax(logits[0, -1]))
+        out.append(tok)
+    return out
+
+
+def prompts(*lens):
+    return [RNG.integers(1, CFG.vocab_size, (n,)).astype(np.int32) for n in lens]
+
+
+def test_single_request_matches_isolated_generation():
+    model = make_model()
+    (p,) = prompts(7)
+    eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                   prompt_buckets=(8, 16))
+    rid = eng.submit(p, max_new_tokens=6)
+    results = eng.run()
+    assert len(results) == 1 and results[0].request_id == rid
+    assert results[0].finish_reason == "length"
+    assert results[0].tokens == ref_generate(model, p, 6)
+
+
+def test_mixed_lengths_and_slot_reuse():
+    """Four requests with different prompt lengths through two slots:
+    queueing, concurrent decode at different offsets, and slot reuse all
+    must leave per-request outputs equal to isolated generation."""
+    model = make_model()
+    ps = prompts(3, 11, 8, 5)
+    eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                   prompt_buckets=(4, 8, 16))
+    rids = [eng.submit(p, max_new_tokens=5 + i) for i, p in enumerate(ps)]
+    results = {r.request_id: r for r in eng.run()}
+    assert set(results) == set(rids)
+    for i, (rid, p) in enumerate(zip(rids, ps)):
+        expect = ref_generate(model, p, 5 + i)
+        assert results[rid].tokens == expect, f"request {i}"
+
+
+def test_eos_stops_early_and_frees_slot():
+    model = make_model()
+    (p, q) = prompts(6, 6)
+    ref = ref_generate(model, p, 12)
+    eos = ref[2]  # a token greedy decode certainly emits
+    stop = ref.index(eos) + 1  # engine stops at the FIRST occurrence
+    eng = ContinuousBatchingEngine(model, max_slots=1, max_len=48,
+                                   prompt_buckets=(8,))
+    r1 = eng.submit(p, max_new_tokens=12, eos_token_id=eos)
+    r2 = eng.submit(q, max_new_tokens=3)
+    results = {r.request_id: r for r in eng.run()}
+    assert results[r1].finish_reason == "eos"
+    assert results[r1].tokens == ref[:stop]
+    # the freed slot served the queued request
+    assert results[r2].tokens == ref_generate(model, q, 3)
+
+
+def test_engine_under_quantized_serving_config():
+    """The engine drives the live Dmx modules: BASIC weights-only serving
+    (packed BFP + fused kernels) produces the same tokens as isolated
+    generation under the identical configuration."""
+    from dmx_compressor_tpu.functional.approximate import NoApproximation
+    from dmx_compressor_tpu.modeling.model import DmxModel
+    from dmx_compressor_tpu.ops.compress import (
+        compress_for_inference,
+        set_inference_mode,
+    )
+
+    model = make_model()
+    dm = DmxModel.from_raw(model)
+    dm.to_basic_mode()
+    for _, m in dm.named_dmx_modules():
+        m.input_casts.set_format(["SAME"] * len(m.input_casts))
+        m.output_casts.set_format(["SAME"] * len(m.output_casts))
+        m.approximator.function = NoApproximation()
+    compress_for_inference(dm)
+    set_inference_mode(True)
+    try:
+        ps = prompts(5, 9)
+        refs = [ref_generate(model, p, 4) for p in ps]
+        eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                       prompt_buckets=(8, 16))
+        rids = [eng.submit(p, max_new_tokens=4) for p in ps]
+        results = {r.request_id: r for r in eng.run()}
+        for rid, expect in zip(rids, refs):
+            assert results[rid].tokens == expect
+    finally:
+        set_inference_mode(False)
+
+
+def test_engine_under_full_basic_fake_quant():
+    """Full BASIC mode (BFP activation casts + surrogates) through the
+    engine — exercises the per-row mask handling of the fused decode
+    attention (ops/basic_attention.py)."""
+    from dmx_compressor_tpu.modeling.model import DmxModel
+    from dmx_compressor_tpu.ops.compress import (
+        compress_for_inference,
+        set_inference_mode,
+    )
+
+    model = make_model()
+    dm = DmxModel.from_raw(model)
+    dm.to_basic_mode()
+    compress_for_inference(dm)
+    set_inference_mode(True)
+    try:
+        ps = prompts(5, 9)
+        refs = [ref_generate(model, p, 4) for p in ps]
+        eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                       prompt_buckets=(8, 16))
+        rids = [eng.submit(p, max_new_tokens=4) for p in ps]
+        results = {r.request_id: r for r in eng.run()}
+        for rid, expect in zip(rids, refs):
+            assert results[rid].tokens == expect
+    finally:
+        set_inference_mode(False)
+
+
+def test_row_cache_update_per_row_offsets():
+    from dmx_compressor_tpu.ops.kv_cache import RowKVCache
+
+    c = RowKVCache(2, 1, 8, 4)
+    c.lengths.value = jnp.asarray([0, 3], jnp.int32)
+    k = jnp.ones((2, 1, 1, 4))
+    kf, vf, lens = c.update(k, 2 * k)
+    assert list(np.asarray(lens)) == [1, 4]
+    assert float(kf[0, 0, 0, 0]) == 1.0 and float(kf[0, 0, 3, 0]) == 0.0
+    assert float(kf[1, 0, 3, 0]) == 1.0 and float(kf[1, 0, 0, 0]) == 0.0
+
+
+def test_submit_validations():
+    model = make_model()
+    eng = ContinuousBatchingEngine(model, max_slots=1, max_len=32,
+                                   prompt_buckets=(8,))
+    with pytest.raises(AssertionError):
+        eng.submit(np.arange(9), max_new_tokens=2)  # exceeds largest bucket
+    with pytest.raises(AssertionError):
+        eng.submit(np.arange(4), max_new_tokens=40)  # exceeds max_len
