@@ -173,19 +173,15 @@ class GemmaModel(nnx.Module):
         x = self.embed_tokens(input_ids)
         # HF GemmaModel scales hidden states by sqrt(hidden) in x's dtype
         x = x * jnp.asarray(self.cfg.hidden_size**0.5, x.dtype)
-        pos = (jnp.arange(T) + position_offset)[None]
+        from .positions import causal_mask, resolve_positions
+
+        pos, _ = resolve_positions(T, position_offset)
         cos, sin = self.rotary_emb(x, pos)
         if caches is not None:
             S = caches[0].k.value.shape[2]
-            mask = jnp.where(
-                jnp.arange(S)[None, :] <= (jnp.arange(T) + position_offset)[:, None],
-                0.0,
-                -1e4,
-            ).astype(x.dtype)
+            mask = causal_mask(T, S, position_offset, x.dtype)
         else:
-            mask = jnp.where(
-                jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
-            ).astype(x.dtype)
+            mask = causal_mask(T, T, 0, x.dtype)
         prefill_offset = (
             position_offset
             if (
@@ -216,7 +212,8 @@ class GemmaForCausalLM(nnx.Module):
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 
-    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
+    def init_cache(self, batch: int, max_len: int, dtype=None,
+                   quantized: bool = False, per_row: bool = False):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -226,4 +223,5 @@ class GemmaForCausalLM(nnx.Module):
             cfg.head_dim,
             dtype or cfg.dtype,
             quantized=quantized,
+            per_row=per_row,
         )

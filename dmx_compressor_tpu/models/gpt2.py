@@ -128,20 +128,16 @@ class GPT2Model(nnx.Module):
         self.ln_f = nnx.LayerNorm(cfg.n_embd, epsilon=cfg.layer_norm_epsilon, rngs=rngs)
 
     def __call__(self, input_ids, caches=None, position_offset=0):
+        from .positions import causal_mask, resolve_positions
+
         B, T = input_ids.shape
-        pos = jnp.arange(T) + position_offset
-        x = self.wte(input_ids) + self.wpe(pos)[None]
+        pos, _ = resolve_positions(T, position_offset)  # [1|B, T]
+        x = self.wte(input_ids) + self.wpe(pos)
         if caches is not None:
             S = caches[0].k.value.shape[2]
-            mask = jnp.where(
-                jnp.arange(S)[None, :] <= (jnp.arange(T) + position_offset)[:, None],
-                0.0,
-                -1e4,
-            ).astype(x.dtype)
+            mask = causal_mask(T, S, position_offset, x.dtype)
         else:
-            mask = jnp.where(
-                jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
-            ).astype(x.dtype)
+            mask = causal_mask(T, T, 0, x.dtype)
         prefill_offset = (
             position_offset
             if (
@@ -171,11 +167,12 @@ class GPT2LMHeadModel(nnx.Module):
         h = self.transformer(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 
-    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
+    def init_cache(self, batch: int, max_len: int, dtype=None,
+                   quantized: bool = False, per_row: bool = False):
         cfg = self.cfg
         return make_caches(cfg.n_layer, batch, cfg.n_head, max_len,
                            cfg.n_embd // cfg.n_head, dtype or cfg.dtype,
-                           quantized=quantized)
+                           quantized=quantized, per_row=per_row)
 
     @staticmethod
     def hf_tensor_converter(tensors):

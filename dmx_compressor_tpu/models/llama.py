@@ -163,21 +163,17 @@ class LlamaModel(nnx.Module):
         )
 
     def __call__(self, input_ids, caches=None, position_offset=0):
+        from .positions import causal_mask, resolve_positions
+
         B, T = input_ids.shape
         x = self.embed_tokens(input_ids)
-        pos = (jnp.arange(T) + position_offset)[None]
+        pos, _ = resolve_positions(T, position_offset)
         cos, sin = self.rotary_emb(x, pos)
         if caches is not None:
             S = caches[0].k.value.shape[2]
-            mask = jnp.where(
-                jnp.arange(S)[None, :] <= (jnp.arange(T) + position_offset)[:, None],
-                0.0,
-                -1e4,
-            ).astype(x.dtype)
+            mask = causal_mask(T, S, position_offset, x.dtype)
         else:
-            mask = jnp.where(
-                jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
-            ).astype(x.dtype)
+            mask = causal_mask(T, T, 0, x.dtype)
         prefill_offset = (
             position_offset
             if (
@@ -213,7 +209,8 @@ class LlamaForCausalLM(nnx.Module):
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 
-    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
+    def init_cache(self, batch: int, max_len: int, dtype=None,
+                   quantized: bool = False, per_row: bool = False):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -223,4 +220,5 @@ class LlamaForCausalLM(nnx.Module):
             cfg.hidden_size // cfg.num_attention_heads,
             dtype or cfg.dtype,
             quantized=quantized,
+            per_row=per_row,
         )

@@ -83,17 +83,17 @@ class MistralModel(nnx.Module):
         )
 
     def _mask(self, T, S, position_offset, dtype):
-        qpos = (jnp.arange(T) + position_offset)[:, None]
-        kpos = jnp.arange(S)[None, :]
-        causal = kpos <= qpos
-        if self.cfg.sliding_window is not None:
-            causal = causal & (kpos > qpos - self.cfg.sliding_window)
-        return jnp.where(causal, 0.0, -1e4).astype(dtype)
+        from .positions import causal_mask
+
+        return causal_mask(T, S, position_offset, dtype,
+                           sliding_window=self.cfg.sliding_window)
 
     def __call__(self, input_ids, caches=None, position_offset=0):
         B, T = input_ids.shape
+        from .positions import resolve_positions
+
         x = self.embed_tokens(input_ids)
-        pos = (jnp.arange(T) + position_offset)[None]
+        pos, _ = resolve_positions(T, position_offset)
         cos, sin = self.rotary_emb(x, pos)
         S = caches[0].k.value.shape[2] if caches is not None else T
         mask = self._mask(T, S, position_offset if caches is not None else 0, x.dtype)
@@ -133,7 +133,8 @@ class MistralForCausalLM(nnx.Module):
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 
-    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
+    def init_cache(self, batch: int, max_len: int, dtype=None,
+                   quantized: bool = False, per_row: bool = False):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -143,4 +144,5 @@ class MistralForCausalLM(nnx.Module):
             cfg.hidden_size // cfg.num_attention_heads,
             dtype or cfg.dtype,
             quantized=quantized,
+            per_row=per_row,
         )

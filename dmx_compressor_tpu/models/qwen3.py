@@ -170,17 +170,17 @@ class Qwen3Model(nnx.Module):
         )
 
     def _mask(self, T, S, position_offset, dtype):
-        qpos = (jnp.arange(T) + position_offset)[:, None]
-        kpos = jnp.arange(S)[None, :]
-        causal = kpos <= qpos
-        if self.cfg.sliding_window is not None:
-            causal = causal & (kpos > qpos - self.cfg.sliding_window)
-        return jnp.where(causal, 0.0, -1e4).astype(dtype)
+        from .positions import causal_mask
+
+        return causal_mask(T, S, position_offset, dtype,
+                           sliding_window=self.cfg.sliding_window)
 
     def __call__(self, input_ids, caches=None, position_offset=0):
         B, T = input_ids.shape
+        from .positions import resolve_positions
+
         x = self.embed_tokens(input_ids)
-        pos = (jnp.arange(T) + position_offset)[None]
+        pos, _ = resolve_positions(T, position_offset)
         cos, sin = self.rotary_emb(x, pos)
         S = caches[0].k.value.shape[2] if caches is not None else T
         mask = self._mask(T, S, position_offset if caches is not None else 0, x.dtype)
@@ -220,7 +220,8 @@ class Qwen3ForCausalLM(nnx.Module):
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 
-    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
+    def init_cache(self, batch: int, max_len: int, dtype=None,
+                   quantized: bool = False, per_row: bool = False):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -230,4 +231,5 @@ class Qwen3ForCausalLM(nnx.Module):
             cfg.head_dim,
             dtype or cfg.dtype,
             quantized=quantized,
+            per_row=per_row,
         )

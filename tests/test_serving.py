@@ -173,3 +173,54 @@ def test_submit_validations():
         eng.submit(np.arange(9), max_new_tokens=2)  # exceeds largest bucket
     with pytest.raises(AssertionError):
         eng.submit(np.arange(4), max_new_tokens=40)  # exceeds max_len
+
+
+# ----------------------------------------------------------- RoPE families
+
+
+def _family_engine_check(model, n_new=4):
+    ps = prompts(5, 9, 3)
+    refs = [ref_generate(model, p, n_new) for p in ps]
+    eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                   prompt_buckets=(4, 8, 16))
+    rids = [eng.submit(p, max_new_tokens=n_new) for p in ps]
+    results = {r.request_id: r for r in eng.run()}
+    for i, (rid, expect) in enumerate(zip(rids, refs)):
+        assert results[rid].tokens == expect, f"request {i}"
+
+
+def test_engine_llama_gqa():
+    """Per-row RoPE offsets: Llama with grouped-query attention."""
+    from dmx_compressor_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    _family_engine_check(LlamaForCausalLM(cfg, rngs=nnx.Rngs(0)))
+
+
+def test_engine_mistral_sliding_window():
+    """Per-row banded masks: Mistral with a sliding window shorter than the
+    cache, so slots at different offsets see different windows."""
+    from dmx_compressor_tpu.models.mistral import (
+        MistralConfig,
+        MistralForCausalLM,
+    )
+
+    cfg = MistralConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=6,
+    )
+    _family_engine_check(MistralForCausalLM(cfg, rngs=nnx.Rngs(0)))
+
+
+def test_engine_gpt2():
+    """Per-row learned positions: GPT-2."""
+    from dmx_compressor_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+
+    cfg = GPT2Config(vocab_size=97, n_embd=64, n_layer=2, n_head=4,
+                     n_positions=64)
+    _family_engine_check(GPT2LMHeadModel(cfg, rngs=nnx.Rngs(0)))
