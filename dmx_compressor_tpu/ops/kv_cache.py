@@ -331,6 +331,87 @@ class RowKVCache(nnx.Module):
         )
 
 
+class RowQuantizedKVCache(nnx.Module):
+    """INT8 continuous-batching cache: :class:`QuantizedKVCache` payloads
+    (int8 K/V + per-position scales) with :class:`RowKVCache` per-row fill
+    points — the engine's quantized-serving configuration."""
+
+    quantized = True
+    row = True
+
+    def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
+                 dtype=jnp.float32):
+        self.out_dtype = dtype
+        self.k_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
+        self.v_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
+        self.k_scale = nnx.Variable(jnp.zeros((batch, heads, max_len), jnp.float32))
+        self.v_scale = nnx.Variable(jnp.zeros((batch, heads, max_len), jnp.float32))
+        self.lengths = nnx.Variable(jnp.zeros((batch,), jnp.int32))
+
+    def update_payload(self, k_new: Array, v_new: Array) -> None:
+        pos = self.lengths.value  # [B]
+        kq, ks = QuantizedKVCache._quantize(k_new.astype(jnp.float32))
+        vq, vs = QuantizedKVCache._quantize(v_new.astype(jnp.float32))
+        w3 = jax.vmap(
+            lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
+        )
+        w2 = jax.vmap(
+            lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (0, p))
+        )
+        self.k_q.value = w3(self.k_q.value, kq, pos)
+        self.v_q.value = w3(self.v_q.value, vq, pos)
+        self.k_scale.value = w2(self.k_scale.value, ks, pos)
+        self.v_scale.value = w2(self.v_scale.value, vs, pos)
+        self.lengths.value = pos + k_new.shape[2]
+
+    def update_quantized(self, k_new: Array, v_new: Array) -> QuantKV:
+        self.update_payload(k_new, v_new)
+        return QuantKV(
+            self.k_q.value, self.v_q.value,
+            self.k_scale.value, self.v_scale.value,
+        )
+
+    def update(self, k_new: Array, v_new: Array):
+        self.update_payload(k_new, v_new)
+        k = (
+            self.k_q.value.astype(jnp.float32) * self.k_scale.value[..., None]
+        ).astype(self.out_dtype)
+        v = (
+            self.v_q.value.astype(jnp.float32) * self.v_scale.value[..., None]
+        ).astype(self.out_dtype)
+        return k, v, self.lengths.value
+
+    def write_row(self, b, k_q_row: Array, v_q_row: Array,
+                  k_scale_row: Array, v_scale_row: Array,
+                  length: Optional[int] = None) -> None:
+        """Install a prefilled row's int8 payloads + scales ([H, T, D] /
+        [H, T], from a batch-1 QuantizedKVCache prefill)."""
+        T = k_q_row.shape[1]
+        self.k_q.value = jax.lax.dynamic_update_slice(
+            self.k_q.value, k_q_row[None], (b, 0, 0, 0)
+        )
+        self.v_q.value = jax.lax.dynamic_update_slice(
+            self.v_q.value, v_q_row[None], (b, 0, 0, 0)
+        )
+        self.k_scale.value = jax.lax.dynamic_update_slice(
+            self.k_scale.value, k_scale_row[None].astype(jnp.float32), (b, 0, 0)
+        )
+        self.v_scale.value = jax.lax.dynamic_update_slice(
+            self.v_scale.value, v_scale_row[None].astype(jnp.float32), (b, 0, 0)
+        )
+        self.lengths.value = self.lengths.value.at[b].set(
+            T if length is None else length
+        )
+
+    @property
+    def k(self):  # buffer-shape compat (mask construction reads .k.value.shape)
+        return self.k_q
+
+    @property
+    def v(self):
+        return self.v_q
+
+
 def make_caches(
     n_layers: int,
     batch: int,
@@ -343,9 +424,10 @@ def make_caches(
     per_row: bool = False,
 ):
     if per_row:
-        assert not quantized and split_base_len is None
+        assert split_base_len is None
+        cls = RowQuantizedKVCache if quantized else RowKVCache
         return [
-            RowKVCache(batch, heads, max_len, head_dim, dtype)
+            cls(batch, heads, max_len, head_dim, dtype)
             for _ in range(n_layers)
         ]
     if split_base_len is not None:

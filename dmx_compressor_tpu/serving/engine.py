@@ -82,13 +82,17 @@ class ContinuousBatchingEngine:
         max_len: int = 512,
         prompt_buckets: tuple = (16, 32, 64, 128),
         pad_id: int = 0,
+        quantized_kv: bool = False,
     ):
         self.model = model
         self.max_slots = max_slots
         self.max_len = max_len
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.pad_id = pad_id
-        self.caches = model.init_cache(max_slots, max_len, per_row=True)
+        self.quantized_kv = quantized_kv
+        self.caches = model.init_cache(
+            max_slots, max_len, per_row=True, quantized=quantized_kv
+        )
         self.slots = [_Slot() for _ in range(max_slots)]
         self.queue: deque[_Request] = deque()
         self.finished: List[GenerationResult] = []
@@ -128,16 +132,27 @@ class ContinuousBatchingEngine:
         if bucket in self._prefill_fns:
             return self._prefill_fns[bucket]
         graphdef = nnx.split(self.model)[0]
+        quantized = self.quantized_kv
 
         @jax.jit
         def prefill(model_state, ids, true_len):
             mod = nnx.merge(graphdef, model_state)
-            caches = mod.init_cache(1, bucket)
+            caches = mod.init_cache(1, bucket, quantized=quantized)
             logits = mod(ids, caches=caches, position_offset=0)
-            k = jnp.stack([c.k.value[0] for c in caches])  # [L, H, bucket, D]
-            v = jnp.stack([c.v.value[0] for c in caches])
             nxt = jnp.argmax(logits[0, true_len - 1], axis=-1).astype(jnp.int32)
-            return k, v, nxt
+            if quantized:
+                rows = (
+                    jnp.stack([c.k_q.value[0] for c in caches]),
+                    jnp.stack([c.v_q.value[0] for c in caches]),
+                    jnp.stack([c.k_scale.value[0] for c in caches]),
+                    jnp.stack([c.v_scale.value[0] for c in caches]),
+                )
+            else:
+                rows = (
+                    jnp.stack([c.k.value[0] for c in caches]),  # [L,H,bucket,D]
+                    jnp.stack([c.v.value[0] for c in caches]),
+                )
+            return rows, nxt
 
         self._prefill_fns[bucket] = prefill
         return prefill
@@ -153,14 +168,15 @@ class ContinuousBatchingEngine:
             ids = np.full((1, bucket), self.pad_id, np.int32)
             ids[0, : req.prompt.size] = req.prompt
             model_state = nnx.split(self.model)[1]
-            k, v, nxt = self._prefill_fn(bucket)(
+            rows, nxt = self._prefill_fn(bucket)(
                 model_state, jnp.asarray(ids), req.prompt.size
             )
             # scatter the prefilled row into this slot; right-pad garbage
             # beyond true_len is masked by lengths[b] and overwritten by
             # subsequent appends
             for li, cache in enumerate(self.caches):
-                cache.write_row(b, k[li], v[li], length=req.prompt.size)
+                cache.write_row(b, *(r[li] for r in rows),
+                                length=req.prompt.size)
             slot.request = req
             slot.generated = [int(nxt)]
             slot.last_token = int(nxt)

@@ -224,3 +224,39 @@ def test_engine_gpt2():
     cfg = GPT2Config(vocab_size=97, n_embd=64, n_layer=2, n_head=4,
                      n_positions=64)
     _family_engine_check(GPT2LMHeadModel(cfg, rngs=nnx.Rngs(0)))
+
+
+def test_engine_int8_kv_cache():
+    """Quantized row cache: engine with int8 KV payloads matches isolated
+    generation over an int8 QuantizedKVCache (the headline serving
+    configuration's cache) for OPT and Llama-GQA."""
+    from dmx_compressor_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    def ref_generate_q(model, prompt, n_new, max_len=48):
+        caches = model.init_cache(1, max_len, quantized=True)
+        logits = model(jnp.asarray(prompt[None], jnp.int32), caches=caches,
+                       position_offset=0)
+        tok = int(jnp.argmax(logits[0, -1]))
+        out = [tok]
+        for i in range(n_new - 1):
+            logits = model(jnp.asarray([[tok]], jnp.int32), caches=caches,
+                           position_offset=int(prompt.size) + i)
+            tok = int(jnp.argmax(logits[0, -1]))
+            out.append(tok)
+        return out
+
+    lcfg = LlamaConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    for model in (make_model(), LlamaForCausalLM(lcfg, rngs=nnx.Rngs(0))):
+        ps = prompts(5, 9)
+        refs = [ref_generate_q(model, p, 4) for p in ps]
+        eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                       prompt_buckets=(8, 16),
+                                       quantized_kv=True)
+        rids = [eng.submit(p, max_new_tokens=4) for p in ps]
+        results = {r.request_id: r for r in eng.run()}
+        for rid, expect in zip(rids, refs):
+            assert results[rid].tokens == expect
