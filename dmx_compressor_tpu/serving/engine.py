@@ -98,7 +98,12 @@ class ContinuousBatchingEngine:
         self.finished: List[GenerationResult] = []
         self._ids = itertools.count()
         self._prefill_fns: Dict[int, callable] = {}
-        self._decode_fn = None
+        self._decode_fns: Dict[int, callable] = {}
+        # persistent device-side (model, caches) state for the decode hot
+        # loop; None = the live modules are authoritative (after admission
+        # writes or externally mutated state)
+        self._dstate = None
+        self._graphdef = None
 
     # ------------------------------------------------------------- intake
 
@@ -184,21 +189,42 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------- decode
 
-    def _decode(self):
-        if self._decode_fn is None:
-            graphdef = nnx.split((self.model, self.caches))[0]
+    def _sync_to_live(self) -> None:
+        """Apply the device-side state back onto the live modules (needed
+        before admission writes or external inspection)."""
+        if self._dstate is not None:
+            nnx.update((self.model, self.caches), self._dstate)
+            self._dstate = None
 
-            @jax.jit
-            def step(state, toks):
+    def _decode(self, burst: int):
+        """Jitted burst-decode: ``burst`` tokens per dispatch via lax.scan,
+        state donated and kept device-side — one host round-trip per burst
+        instead of per token (essential on tunneled TPUs)."""
+        if burst in self._decode_fns:
+            return self._decode_fns[burst]
+        if self._graphdef is None:
+            self._graphdef = nnx.split((self.model, self.caches))[0]
+        graphdef = self._graphdef
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state, toks):
+            def body(carry, _):
+                state, toks = carry
                 mod, caches = nnx.merge(graphdef, state)
                 off = caches[0].lengths.value  # [B] per-row positions
                 logits = mod(toks, caches=caches, position_offset=off)
-                _, new_state = nnx.split((mod, caches))
+                _, s2 = nnx.split((mod, caches))
                 nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                return new_state, nxt
+                return (s2, nxt[:, None]), nxt
 
-            self._decode_fn = step
-        return self._decode_fn
+            (state, _), seq = jax.lax.scan(
+                body, (state, toks), None, length=burst
+            )
+            return state, seq.T  # [B, burst]
+
+        self._decode_fns[burst] = step
+        return step
 
     def _retire_if_done(self, b: int) -> None:
         slot = self.slots[b]
@@ -220,29 +246,37 @@ class ContinuousBatchingEngine:
             slot.request = None
             slot.generated = []
 
-    def step(self) -> List[GenerationResult]:
+    def step(self, burst: int = 1) -> List[GenerationResult]:
         """Admit queued requests into free slots, advance every active slot
-        by one token, and return newly finished results."""
+        by ``burst`` tokens in one dispatch, and return newly finished
+        results.  Slots that finish mid-burst keep decoding garbage until
+        the burst ends (truncated host-side, standard slot semantics)."""
         n_done = len(self.finished)
+        if self.queue and any(not s.active for s in self.slots):
+            self._sync_to_live()  # admission writes need the live caches
         self._admit()
         if any(s.active for s in self.slots):
             toks = jnp.asarray(
                 [[s.last_token] for s in self.slots], jnp.int32
             )
-            state = nnx.split((self.model, self.caches))[1]
-            state, nxt = self._decode()(state, toks)
-            nnx.update((self.model, self.caches), state)
-            nxt = np.asarray(nxt)
-            for b, slot in enumerate(self.slots):
-                if not slot.active:
-                    continue
-                slot.generated.append(int(nxt[b]))
-                slot.last_token = int(nxt[b])
-                self._retire_if_done(b)
+            if self._dstate is None:
+                self._dstate = nnx.split((self.model, self.caches))[1]
+            self._dstate, seq = self._decode(burst)(self._dstate, toks)
+            seq = np.asarray(seq)  # [B, burst]
+            for j in range(burst):
+                for b, slot in enumerate(self.slots):
+                    if not slot.active:
+                        continue
+                    slot.generated.append(int(seq[b, j]))
+                    slot.last_token = int(seq[b, j])
+                    self._retire_if_done(b)
         return self.finished[n_done:]
 
-    def run(self) -> List[GenerationResult]:
+    def run(self, burst: int = 1) -> List[GenerationResult]:
         """Drain the queue and all active slots to completion."""
         while self.queue or any(s.active for s in self.slots):
-            self.step()
+            self.step(burst)
+        # hand the (donated-and-replaced) device state back to the live
+        # modules so the model is usable outside the engine again
+        self._sync_to_live()
         return self.finished

@@ -260,3 +260,27 @@ def test_engine_int8_kv_cache():
         results = {r.request_id: r for r in eng.run()}
         for rid, expect in zip(rids, refs):
             assert results[rid].tokens == expect
+
+
+def test_burst_decode_equals_single_step():
+    """Burst decoding (N tokens per dispatch via lax.scan, donated
+    device-side state) must be trajectory-identical to stepwise decode,
+    including mid-burst eos truncation and mid-run admission."""
+    model = make_model()
+    ps = prompts(5, 9, 4)
+    ref_eos = ref_generate(model, ps[0], 9)[1]
+
+    def run(burst):
+        eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                       prompt_buckets=(8, 16))
+        rids = [
+            eng.submit(ps[0], max_new_tokens=9, eos_token_id=ref_eos),
+            eng.submit(ps[1], max_new_tokens=7),
+            eng.submit(ps[2], max_new_tokens=5),
+        ]
+        results = {r.request_id: r for r in eng.run(burst)}
+        return [
+            (results[r].tokens, results[r].finish_reason) for r in rids
+        ]
+
+    assert run(3) == run(1)
