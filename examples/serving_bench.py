@@ -1,0 +1,110 @@
+"""Continuous-batching serving throughput (serving/engine.py).
+
+Measures aggregate decode tokens/s of the slot engine under a Poisson-less
+closed-loop workload (every slot kept busy: a new request is queued the
+moment one finishes) — the slot-utilization counterpart of bench.py's
+fixed-batch decode numbers.  Configurations:
+
+    python examples/serving_bench.py [opt-125m|opt-1.3b] [raw|weights] \
+        [--slots N] [--burst N] [--requests N]
+
+``weights`` packs BFP16_64 weights + int8 KV (the headline serving config)
+before starting the engine.  Prints one JSON line with tokens/s and slot
+utilization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+from flax import nnx
+
+
+def main():
+    from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
+    from dmx_compressor_tpu.serving import ContinuousBatchingEngine
+
+    name = sys.argv[1] if len(sys.argv) > 1 else "opt-125m"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "weights"
+
+    def arg(flag, default):
+        return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+    slots = arg("--slots", 8)
+    burst = arg("--burst", 16)
+    n_requests = arg("--requests", 32)
+    prompt_len = arg("--prompt", 96)
+    gen_len = arg("--gen", 64)
+
+    cfg = {"opt-125m": OPTConfig.opt_125m, "opt-350m": OPTConfig.opt_350m,
+           "opt-1.3b": OPTConfig.opt_1_3b}[name]()
+    model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+    quantized_kv = False
+    if mode == "weights":
+        from dmx_compressor_tpu.functional.approximate import NoApproximation
+        from dmx_compressor_tpu.modeling.model import DmxModel
+        from dmx_compressor_tpu.ops.compress import (
+            compress_for_inference,
+            set_inference_mode,
+        )
+
+        dm = DmxModel.from_raw(model)
+        dm.to_basic_mode()
+        for _, m in dm.named_dmx_modules():
+            m.input_casts.set_format(["SAME"] * len(m.input_casts))
+            m.output_casts.set_format(["SAME"] * len(m.output_casts))
+            m.approximator.function = NoApproximation()
+        compress_for_inference(dm)
+        set_inference_mode(True)
+        quantized_kv = True
+
+    rng = np.random.default_rng(0)
+    eng = ContinuousBatchingEngine(
+        model, max_slots=slots, max_len=prompt_len + gen_len + burst,
+        prompt_buckets=(prompt_len,), quantized_kv=quantized_kv,
+    )
+    prompts = [
+        rng.integers(1, cfg.vocab_size, (prompt_len,)).astype(np.int32)
+        for _ in range(n_requests)
+    ]
+    for p in prompts[:slots]:
+        eng.submit(p, max_new_tokens=gen_len)
+    pending = list(prompts[slots:])
+
+    # warmup: compile prefill + decode
+    eng.step(burst)
+
+    t0 = time.perf_counter()
+    tokens_done = 0
+    while eng.queue or any(s.active for s in eng.slots) or pending:
+        done = eng.step(burst)
+        for r in done:
+            tokens_done += len(r.tokens)
+            if pending:  # closed loop: keep the slots busy
+                eng.submit(pending.pop(), max_new_tokens=gen_len)
+    dt = time.perf_counter() - t0
+    total_gen = sum(len(r.tokens) for r in eng.finished)
+    print(json.dumps({
+        "metric": f"{name}_{mode}_serving_tokens_per_sec",
+        "value": round(total_gen / dt, 2),
+        "unit": "tokens/s",
+        "slots": slots,
+        "burst": burst,
+        "requests": len(eng.finished),
+        "wall_s": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

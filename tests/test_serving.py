@@ -284,3 +284,33 @@ def test_burst_decode_equals_single_step():
         ]
 
     assert run(3) == run(1)
+
+
+def test_engine_with_tp_sharded_params():
+    """Host-sharded continuous batching (SURVEY §5): engine decode over
+    TP-sharded parameters on the 8-device mesh reproduces the unsharded
+    token trajectories — XLA GSPMD propagates the shardings through the
+    jitted burst decode."""
+    from dmx_compressor_tpu.parallel.mesh import (
+        make_mesh,
+        rules_for_model,
+        shard_state,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    model = make_model()
+    ps = prompts(5, 9, 3)
+    refs = [ref_generate(model, p, 4) for p in ps]
+
+    mesh = make_mesh((1, 4), ("dp", "tp"))
+    graphdef, state = nnx.split(model)
+    state = shard_state(state, mesh, rules_for_model(model))
+    nnx.update(model, state)
+
+    eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                   prompt_buckets=(8, 16))
+    rids = [eng.submit(p, max_new_tokens=4) for p in ps]
+    results = {r.request_id: r for r in eng.run(burst=2)}
+    for i, (rid, expect) in enumerate(zip(rids, refs)):
+        assert results[rid].tokens == expect, f"request {i}"
