@@ -38,6 +38,19 @@ import numpy as np
 from flax import nnx
 
 
+def _pick(logits, key, temps, top_k):
+    """Per-row token choice: greedy where temps == 0, otherwise
+    temperature softmax sampling truncated to top_k (Pipeline.generate's
+    sampler, hf.py:473-480, per row)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lg = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
+    if top_k is not None:
+        kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
+        lg = jnp.where(lg < kth, -jnp.inf, lg)
+    sampled = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+    return jnp.where(temps > 0.0, sampled, greedy)
+
+
 @dataclasses.dataclass
 class GenerationResult:
     request_id: int
@@ -52,6 +65,7 @@ class _Request:
     prompt: np.ndarray  # [T] int32
     max_new_tokens: int
     eos_token_id: Optional[int]
+    temperature: float = 0.0  # 0 = greedy; per-request sampling
 
 
 @dataclasses.dataclass
@@ -83,6 +97,8 @@ class ContinuousBatchingEngine:
         prompt_buckets: tuple = (16, 32, 64, 128),
         pad_id: int = 0,
         quantized_kv: bool = False,
+        top_k: Optional[int] = None,
+        seed: int = 0,
     ):
         self.model = model
         self.max_slots = max_slots
@@ -90,6 +106,8 @@ class ContinuousBatchingEngine:
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.pad_id = pad_id
         self.quantized_kv = quantized_kv
+        self.top_k = top_k  # static truncation shared by all sampled rows
+        self._key = jax.random.key(seed)
         self.caches = model.init_cache(
             max_slots, max_len, per_row=True, quantized=quantized_kv
         )
@@ -108,7 +126,8 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------- intake
 
     def submit(self, prompt_ids, max_new_tokens: int = 16,
-               eos_token_id: Optional[int] = None) -> int:
+               eos_token_id: Optional[int] = None,
+               temperature: float = 0.0) -> int:
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         assert prompt.size > 0, "empty prompt"
         assert prompt.size <= max(self.prompt_buckets), (
@@ -118,7 +137,8 @@ class ContinuousBatchingEngine:
         assert prompt.size + max_new_tokens <= self.max_len
         rid = next(self._ids)
         self.queue.append(
-            _Request(rid, prompt, max_new_tokens, eos_token_id)
+            _Request(rid, prompt, max_new_tokens, eos_token_id,
+                     float(temperature))
         )
         return rid
 
@@ -138,13 +158,17 @@ class ContinuousBatchingEngine:
             return self._prefill_fns[bucket]
         graphdef = nnx.split(self.model)[0]
         quantized = self.quantized_kv
+        top_k = self.top_k
 
         @jax.jit
-        def prefill(model_state, ids, true_len):
+        def prefill(model_state, ids, true_len, key, temp):
             mod = nnx.merge(graphdef, model_state)
             caches = mod.init_cache(1, bucket, quantized=quantized)
             logits = mod(ids, caches=caches, position_offset=0)
-            nxt = jnp.argmax(logits[0, true_len - 1], axis=-1).astype(jnp.int32)
+            boundary = jax.lax.dynamic_slice_in_dim(
+                logits[0], true_len - 1, 1, axis=0
+            )  # [1, V]
+            nxt = _pick(boundary, key, temp[None], top_k)[0]
             if quantized:
                 rows = (
                     jnp.stack([c.k_q.value[0] for c in caches]),
@@ -173,8 +197,10 @@ class ContinuousBatchingEngine:
             ids = np.full((1, bucket), self.pad_id, np.int32)
             ids[0, : req.prompt.size] = req.prompt
             model_state = nnx.split(self.model)[1]
+            self._key, sub = jax.random.split(self._key)
             rows, nxt = self._prefill_fn(bucket)(
-                model_state, jnp.asarray(ids), req.prompt.size
+                model_state, jnp.asarray(ids), req.prompt.size,
+                sub, jnp.float32(req.temperature),
             )
             # scatter the prefilled row into this slot; right-pad garbage
             # beyond true_len is masked by lengths[b] and overwritten by
@@ -205,21 +231,23 @@ class ContinuousBatchingEngine:
         if self._graphdef is None:
             self._graphdef = nnx.split((self.model, self.caches))[0]
         graphdef = self._graphdef
+        top_k = self.top_k
         import functools
 
         @functools.partial(jax.jit, donate_argnums=0)
-        def step(state, toks):
+        def step(state, toks, key, temps):
             def body(carry, _):
-                state, toks = carry
+                state, toks, key = carry
                 mod, caches = nnx.merge(graphdef, state)
                 off = caches[0].lengths.value  # [B] per-row positions
                 logits = mod(toks, caches=caches, position_offset=off)
                 _, s2 = nnx.split((mod, caches))
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                return (s2, nxt[:, None]), nxt
+                key, sub = jax.random.split(key)
+                nxt = _pick(logits[:, -1], sub, temps, top_k)
+                return (s2, nxt[:, None], key), nxt
 
-            (state, _), seq = jax.lax.scan(
-                body, (state, toks), None, length=burst
+            (state, _, _), seq = jax.lax.scan(
+                body, (state, toks, key), None, length=burst
             )
             return state, seq.T  # [B, burst]
 
@@ -261,7 +289,15 @@ class ContinuousBatchingEngine:
             )
             if self._dstate is None:
                 self._dstate = nnx.split((self.model, self.caches))[1]
-            self._dstate, seq = self._decode(burst)(self._dstate, toks)
+            temps = jnp.asarray(
+                [s.request.temperature if s.active else 0.0
+                 for s in self.slots],
+                jnp.float32,
+            )
+            self._key, sub = jax.random.split(self._key)
+            self._dstate, seq = self._decode(burst)(
+                self._dstate, toks, sub, temps
+            )
             seq = np.asarray(seq)  # [B, burst]
             for j in range(burst):
                 for b, slot in enumerate(self.slots):

@@ -314,3 +314,30 @@ def test_engine_with_tp_sharded_params():
     results = {r.request_id: r for r in eng.run(burst=2)}
     for i, (rid, expect) in enumerate(zip(rids, refs)):
         assert results[rid].tokens == expect, f"request {i}"
+
+
+def test_per_request_sampling():
+    """Mixed greedy + sampled slots in one batch: the greedy request's
+    trajectory is unaffected by a sampled neighbor, sampled tokens are
+    valid, and sampling is deterministic per engine seed."""
+    model = make_model()
+    (pg, ps_) = prompts(6, 8)
+    ref = ref_generate(model, pg, 5)
+
+    def run(seed):
+        eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                       prompt_buckets=(8,), top_k=5,
+                                       seed=seed)
+        rg = eng.submit(pg, max_new_tokens=5)  # greedy
+        rs = eng.submit(ps_, max_new_tokens=5, temperature=1.0)
+        results = {r.request_id: r for r in eng.run()}
+        return results[rg].tokens, results[rs].tokens
+
+    g1, s1 = run(0)
+    g2, s2 = run(0)
+    g3, s3 = run(7)
+    assert g1 == ref and g3 == ref  # greedy row independent of sampling
+    assert (s1, g1) == (s2, g2)  # deterministic per seed
+    assert all(0 <= t < CFG.vocab_size for t in s1)
+    # different seed should (overwhelmingly) sample a different path
+    assert s3 != s1 or True  # non-flaky: just exercise the path
