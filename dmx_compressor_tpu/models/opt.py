@@ -369,35 +369,18 @@ class OPTDecoder(nnx.Module):
 
     def __call__(self, input_ids, caches=None, position_offset=0,
                  apply_final_ln=True):
+        from .positions import causal_mask, resolve_positions
+
         B, T = input_ids.shape
         x = self.embed_tokens(input_ids)
-        per_row = (
-            not isinstance(position_offset, int)
-            and jnp.ndim(position_offset) == 1
-        )
-        if per_row:
-            # continuous batching: every row sits at its own offset
-            # (serving/engine.py); positions [B, T], mask [B, 1, T, S]
-            off = jnp.asarray(position_offset, jnp.int32)  # [B]
-            positions = jnp.arange(T)[None, :] + off[:, None] + 2
-            x = x + self.embed_positions(positions)
-        else:
-            positions = jnp.arange(T) + position_offset + 2
-            x = x + self.embed_positions(positions)[None]
+        # OPT quirk: learned positions are offset by 2 (HF modeling_opt)
+        positions, _ = resolve_positions(T, position_offset)
+        x = x + self.embed_positions(positions + 2)
 
         # causal mask; with a cache, queries attend to all filled slots
-        if caches is not None and per_row:
+        if caches is not None:
             S = getattr(caches[0], "seq_len", None) or caches[0].k.value.shape[2]
-            kpos = jnp.arange(S)
-            qpos = jnp.arange(T)[None, :] + off[:, None]  # [B, T]
-            mask = jnp.where(
-                kpos[None, None, None, :] <= qpos[:, None, :, None], 0.0, -1e4
-            ).astype(x.dtype)
-        elif caches is not None:
-            S = getattr(caches[0], "seq_len", None) or caches[0].k.value.shape[2]
-            kpos = jnp.arange(S)[None, :]
-            qpos = (jnp.arange(T) + position_offset)[:, None]
-            mask = jnp.where(kpos <= qpos, 0.0, -1e4).astype(x.dtype)
+            mask = causal_mask(T, S, position_offset, x.dtype)
         else:
             mask = jnp.where(
                 jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4

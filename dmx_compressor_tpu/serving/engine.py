@@ -103,7 +103,11 @@ class ContinuousBatchingEngine:
         self.model = model
         self.max_slots = max_slots
         self.max_len = max_len
-        self.prompt_buckets = tuple(sorted(prompt_buckets))
+        usable = tuple(b for b in sorted(prompt_buckets) if b <= max_len)
+        assert usable, (
+            f"no prompt bucket fits max_len={max_len}: {prompt_buckets}"
+        )
+        self.prompt_buckets = usable
         self.pad_id = pad_id
         self.quantized_kv = quantized_kv
         self.top_k = top_k  # static truncation shared by all sampled rows
@@ -150,12 +154,12 @@ class ContinuousBatchingEngine:
                 return b
         raise AssertionError("submit() bounds-checked this")
 
-    def _prefill_fn(self, bucket: int):
+    def _prefill_fn(self, bucket: int, sampling: bool):
         """Jitted single-request prefill at one bucketed length: fresh
-        batch-1 caches, returns stacked per-layer K/V rows + the greedy
-        next token at the true prompt boundary."""
-        if bucket in self._prefill_fns:
-            return self._prefill_fns[bucket]
+        batch-1 caches, returns stacked per-layer K/V rows + the next token
+        at the true prompt boundary (greedy or sampled)."""
+        if (bucket, sampling) in self._prefill_fns:
+            return self._prefill_fns[(bucket, sampling)]
         graphdef = nnx.split(self.model)[0]
         quantized = self.quantized_kv
         top_k = self.top_k
@@ -168,7 +172,10 @@ class ContinuousBatchingEngine:
             boundary = jax.lax.dynamic_slice_in_dim(
                 logits[0], true_len - 1, 1, axis=0
             )  # [1, V]
-            nxt = _pick(boundary, key, temp[None], top_k)[0]
+            if sampling:
+                nxt = _pick(boundary, key, temp[None], top_k)[0]
+            else:
+                nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
             if quantized:
                 rows = (
                     jnp.stack([c.k_q.value[0] for c in caches]),
@@ -183,7 +190,7 @@ class ContinuousBatchingEngine:
                 )
             return rows, nxt
 
-        self._prefill_fns[bucket] = prefill
+        self._prefill_fns[(bucket, sampling)] = prefill
         return prefill
 
     def _admit(self) -> None:
@@ -198,7 +205,7 @@ class ContinuousBatchingEngine:
             ids[0, : req.prompt.size] = req.prompt
             model_state = nnx.split(self.model)[1]
             self._key, sub = jax.random.split(self._key)
-            rows, nxt = self._prefill_fn(bucket)(
+            rows, nxt = self._prefill_fn(bucket, req.temperature > 0.0)(
                 model_state, jnp.asarray(ids), req.prompt.size,
                 sub, jnp.float32(req.temperature),
             )
@@ -222,12 +229,14 @@ class ContinuousBatchingEngine:
             nnx.update((self.model, self.caches), self._dstate)
             self._dstate = None
 
-    def _decode(self, burst: int):
+    def _decode(self, burst: int, sampling: bool):
         """Jitted burst-decode: ``burst`` tokens per dispatch via lax.scan,
         state donated and kept device-side — one host round-trip per burst
-        instead of per token (essential on tunneled TPUs)."""
-        if burst in self._decode_fns:
-            return self._decode_fns[burst]
+        instead of per token (essential on tunneled TPUs).  The all-greedy
+        variant skips the sampler entirely (no [B, V] sort / categorical on
+        the hot path)."""
+        if (burst, sampling) in self._decode_fns:
+            return self._decode_fns[(burst, sampling)]
         if self._graphdef is None:
             self._graphdef = nnx.split((self.model, self.caches))[0]
         graphdef = self._graphdef
@@ -242,8 +251,11 @@ class ContinuousBatchingEngine:
                 off = caches[0].lengths.value  # [B] per-row positions
                 logits = mod(toks, caches=caches, position_offset=off)
                 _, s2 = nnx.split((mod, caches))
-                key, sub = jax.random.split(key)
-                nxt = _pick(logits[:, -1], sub, temps, top_k)
+                if sampling:
+                    key, sub = jax.random.split(key)
+                    nxt = _pick(logits[:, -1], sub, temps, top_k)
+                else:
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 return (s2, nxt[:, None], key), nxt
 
             (state, _, _), seq = jax.lax.scan(
@@ -251,7 +263,7 @@ class ContinuousBatchingEngine:
             )
             return state, seq.T  # [B, burst]
 
-        self._decode_fns[burst] = step
+        self._decode_fns[(burst, sampling)] = step
         return step
 
     def _retire_if_done(self, b: int) -> None:
@@ -289,13 +301,14 @@ class ContinuousBatchingEngine:
             )
             if self._dstate is None:
                 self._dstate = nnx.split((self.model, self.caches))[1]
-            temps = jnp.asarray(
-                [s.request.temperature if s.active else 0.0
-                 for s in self.slots],
-                jnp.float32,
-            )
+            temps_host = [
+                s.request.temperature if s.active else 0.0
+                for s in self.slots
+            ]
+            sampling = any(t > 0.0 for t in temps_host)
+            temps = jnp.asarray(temps_host, jnp.float32)
             self._key, sub = jax.random.split(self._key)
-            self._dstate, seq = self._decode(burst)(
+            self._dstate, seq = self._decode(burst, sampling)(
                 self._dstate, toks, sub, temps
             )
             seq = np.asarray(seq)  # [B, burst]

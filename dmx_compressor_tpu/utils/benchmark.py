@@ -76,8 +76,9 @@ def measure_runtime(fn: Callable, *args, reps: int = 5, warmup: int = 2) -> floa
 
 
 def peak_memory_bytes() -> Optional[int]:
-    """Device peak-HBM high-water mark, when the backend reports one
-    (reference prints max memory per mode, benchmark.py:175-260)."""
+    """Device peak-HBM high-water mark since process start, when the
+    backend reports one (never resets — use :func:`live_memory_bytes` for
+    per-phase attribution)."""
     try:
         stats = jax.local_devices()[0].memory_stats()
     except Exception:
@@ -85,6 +86,18 @@ def peak_memory_bytes() -> Optional[int]:
     if not stats:
         return None
     return stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+
+
+def live_memory_bytes() -> Optional[int]:
+    """Currently-allocated device bytes (resets as buffers free, so safe
+    to compare across benchmark phases)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    return stats.get("bytes_in_use")
 
 
 def measure_mode_perf(
@@ -336,12 +349,15 @@ def measure_model_runtime(model_maker, modes: List[EVALUATION_MODE],
         results[mode.value] = _measure_mode_perf_dm(
             model, model_runner, mode, n_measure_runs=n_measure_runs
         )
-        mem = peak_memory_bytes()
+        # live bytes after the mode's run — the device peak high-water mark
+        # never resets, so reporting it per mode would misattribute earlier
+        # modes' peaks to later ones
+        mem = live_memory_bytes()
         results[mode.value]["max_memory"] = mem if mem is not None else 0
         if len(results[mode.value]["per_layer_times"]) > len(layer_names):
             layer_names = list(results[mode.value]["per_layer_times"].keys())
 
-    header = ["mode", "max memory (GB)", "total time (s)", *layer_names]
+    header = ["mode", "live memory (GB)", "total time (s)", *layer_names]
     lines = ["| " + " | ".join(header) + " |",
              "|---" * len(header) + "|"]
     for k, rec in results.items():

@@ -98,9 +98,9 @@ def model_maker():
         order = jnp.argsort(-sim, axis=-1)
         correct = order == jnp.arange(sim.shape[0])[:, None]
         retrieved = np.asarray(order[:, 0])
-        if EVALUATION_MODE.VANILLA.value not in _vanilla_retrieval:
+        if desc == EVALUATION_MODE.VANILLA.value:
             _vanilla_retrieval[EVALUATION_MODE.VANILLA.value] = retrieved
-        ref = _vanilla_retrieval[EVALUATION_MODE.VANILLA.value]
+        ref = _vanilla_retrieval.get(EVALUATION_MODE.VANILLA.value, retrieved)
         metrics = {
             f"top{k}_acc": float(jnp.mean(jnp.any(correct[:, :k], axis=-1)))
             for k in TOP_K

@@ -84,9 +84,9 @@ def model_maker():
         parity stand-in; the reference evaluates WER on real audio)."""
         print(f"evaluating whisper model {desc}")
         toks = np.asarray(transcribe(m))
-        if EVALUATION_MODE.VANILLA.value not in _vanilla_tokens:
+        if desc == EVALUATION_MODE.VANILLA.value:
             _vanilla_tokens[EVALUATION_MODE.VANILLA.value] = toks
-        ref = _vanilla_tokens[EVALUATION_MODE.VANILLA.value]
+        ref = _vanilla_tokens.get(EVALUATION_MODE.VANILLA.value, toks)
         return {
             "token_agreement": float(np.mean(toks == ref)),
             "n_tokens": float(toks.size),

@@ -82,19 +82,23 @@ def main():
         eng.submit(p, max_new_tokens=gen_len)
     pending = list(prompts[slots:])
 
-    # warmup: compile prefill + decode
+    # warmup: compile prefill + decode (its tokens are excluded below)
     eng.step(burst)
 
+    def emitted():
+        return sum(len(r.tokens) for r in eng.finished) + sum(
+            len(s.generated) for s in eng.slots if s.active
+        )
+
+    base = emitted()
     t0 = time.perf_counter()
-    tokens_done = 0
     while eng.queue or any(s.active for s in eng.slots) or pending:
         done = eng.step(burst)
-        for r in done:
-            tokens_done += len(r.tokens)
+        for _ in done:
             if pending:  # closed loop: keep the slots busy
                 eng.submit(pending.pop(), max_new_tokens=gen_len)
     dt = time.perf_counter() - t0
-    total_gen = sum(len(r.tokens) for r in eng.finished)
+    total_gen = emitted() - base
     print(json.dumps({
         "metric": f"{name}_{mode}_serving_tokens_per_sec",
         "value": round(total_gen / dt, 2),

@@ -335,9 +335,34 @@ def test_per_request_sampling():
 
     g1, s1 = run(0)
     g2, s2 = run(0)
-    g3, s3 = run(7)
-    assert g1 == ref and g3 == ref  # greedy row independent of sampling
+    seeded = [run(seed)[1] for seed in (3, 5, 7, 11)]
+    assert g1 == ref  # greedy row independent of sampling
     assert (s1, g1) == (s2, g2)  # deterministic per seed
     assert all(0 <= t < CFG.vocab_size for t in s1)
-    # different seed should (overwhelmingly) sample a different path
-    assert s3 != s1 or True  # non-flaky: just exercise the path
+    # the seed must actually steer sampling: across several seeds at
+    # temperature 1.0, at least one trajectory differs
+    assert any(s != s1 for s in seeded)
+
+
+def test_engine_gemma():
+    """Per-row offsets with Gemma's sqrt-hidden embed scaling."""
+    from dmx_compressor_tpu.models.gemma import GemmaConfig, GemmaForCausalLM
+
+    cfg = GemmaConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, head_dim=16,
+    )
+    _family_engine_check(GemmaForCausalLM(cfg, rngs=nnx.Rngs(0)))
+
+
+def test_engine_qwen3():
+    """Per-row offsets with Qwen3's q/k norms."""
+    from dmx_compressor_tpu.models.qwen3 import Qwen3Config, Qwen3ForCausalLM
+
+    cfg = Qwen3Config(
+        vocab_size=97, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, head_dim=16,
+    )
+    _family_engine_check(Qwen3ForCausalLM(cfg, rngs=nnx.Rngs(0)))
