@@ -135,8 +135,23 @@ class T5Attention(nnx.Module):
             self.relative_attention_bias = None
         self.sdpa = rawnn.ScaledDotProductAttention()
 
-    def compute_bias(self, query_length: int, key_length: int, query_offset: int = 0):
-        """[1, heads, Tq, Tk] additive position bias."""
+    def compute_bias(self, query_length: int, key_length: int, query_offset=0):
+        """Additive position bias: [1, heads, Tq, Tk], or [B, heads, Tq, Tk]
+        for per-row ``query_offset`` arrays (continuous batching)."""
+        from .positions import is_per_row
+
+        if is_per_row(query_offset):
+            off = jnp.asarray(query_offset, jnp.int32)  # [B]
+            q_pos = (jnp.arange(query_length)[None, :] + off[:, None])[..., None]
+            k_pos = jnp.arange(key_length)[None, None, :]
+            buckets = relative_position_bucket(
+                k_pos - q_pos,
+                bidirectional=self.bidirectional,
+                num_buckets=self.num_buckets,
+                max_distance=self.max_distance,
+            )  # [B, Tq, Tk]
+            values = self.relative_attention_bias(buckets)  # [B, Tq, Tk, H]
+            return values.transpose(0, 3, 1, 2)
         q_pos = (jnp.arange(query_length) + query_offset)[:, None]
         k_pos = jnp.arange(key_length)[None, :]
         buckets = relative_position_bucket(
@@ -224,7 +239,8 @@ class T5Block(nnx.Module):
         self.resadd1 = rawnn.ResAdd()
         self.resadd2 = rawnn.ResAdd()
 
-    def __call__(self, x, enc=None, position_bias=None, cache=None):
+    def __call__(self, x, enc=None, position_bias=None, cache=None,
+                 enc_mask=None):
         x = self.resadd1(
             self.self_attn(
                 self.self_attn_layer_norm(x),
@@ -235,7 +251,8 @@ class T5Block(nnx.Module):
         )
         if self.is_decoder:
             x = self.resadd3(
-                self.cross_attn(self.cross_attn_layer_norm(x), kv=enc), x
+                self.cross_attn(self.cross_attn_layer_norm(x), kv=enc,
+                                position_bias=enc_mask), x
             )
         return self.resadd2(self.ff(self.ff_layer_norm(x)), x)
 
@@ -259,25 +276,33 @@ class T5Stack(nnx.Module):
         )
         self.final_layer_norm = rawnn.RMSNorm(cfg.d_model, eps=cfg.layer_norm_epsilon)
 
-    def __call__(self, input_ids, enc=None, caches=None, position_offset=0):
+    def __call__(self, input_ids, enc=None, caches=None, position_offset=0,
+                 attn_mask=None, enc_mask=None):
+        """``attn_mask``: additive mask over THIS stack's keys (encoder
+        padding); ``enc_mask``: additive mask over the encoder keys for
+        the decoder's cross-attention (both broadcastable to
+        [B, H, T, S])."""
+        from .positions import causal_mask
+
         B, T = input_ids.shape
         x = self.embed_tokens(input_ids)
         S = caches[0].k.value.shape[2] if caches is not None else T
+        off = position_offset if caches is not None else 0
         bias = self.block[0].self_attn.compute_bias(
-            T, S, query_offset=position_offset if caches is not None else 0
+            T, S, query_offset=off
         ).astype(x.dtype)
         if self.is_decoder:
-            qpos = (
-                jnp.arange(T) + (position_offset if caches is not None else 0)
-            )[:, None]
-            causal = jnp.arange(S)[None, :] <= qpos
-            bias = bias + jnp.where(causal, 0.0, -1e4).astype(x.dtype)
+            cm = causal_mask(T, S, off, x.dtype)  # [T,S] or [B,1,T,S]
+            bias = bias + cm
+        if attn_mask is not None:
+            bias = bias + attn_mask.astype(x.dtype)
         for i, blk in enumerate(self.block):
             x = blk(
                 x,
                 enc=enc,
                 position_bias=bias,
                 cache=None if caches is None else caches[i],
+                enc_mask=enc_mask,
             )
         return self.final_layer_norm(x)
 
@@ -299,12 +324,14 @@ class T5ForConditionalGeneration(nnx.Module):
     def config(self):
         return self.cfg
 
-    def encode(self, input_ids):
-        return self.encoder(input_ids)
+    def encode(self, input_ids, attn_mask=None):
+        return self.encoder(input_ids, attn_mask=attn_mask)
 
-    def decode(self, decoder_input_ids, enc, caches=None, position_offset=0):
+    def decode(self, decoder_input_ids, enc, caches=None, position_offset=0,
+               enc_mask=None):
         h = self.decoder(
-            decoder_input_ids, enc=enc, caches=caches, position_offset=position_offset
+            decoder_input_ids, enc=enc, caches=caches,
+            position_offset=position_offset, enc_mask=enc_mask,
         )
         if self.cfg.tie_word_embeddings:
             h = h * jnp.asarray(self.cfg.d_model**-0.5, h.dtype)
@@ -314,7 +341,8 @@ class T5ForConditionalGeneration(nnx.Module):
         enc = self.encode(input_ids)
         return self.decode(decoder_input_ids, enc, caches, position_offset)
 
-    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
+    def init_cache(self, batch: int, max_len: int, dtype=None,
+                   quantized: bool = False, per_row: bool = False):
         cfg = self.cfg
         return make_caches(
             cfg.num_decoder_layers,
@@ -324,6 +352,7 @@ class T5ForConditionalGeneration(nnx.Module):
             cfg.d_kv,
             dtype or cfg.dtype,
             quantized=quantized,
+            per_row=per_row,
         )
 
     def generate(

@@ -214,18 +214,16 @@ class WhisperDecoder(nnx.Module):
         self.layer_norm = nnx.LayerNorm(cfg.d_model, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, input_ids, enc, caches=None, position_offset=0):
+        from .positions import causal_mask, resolve_positions
+
         B, T = input_ids.shape
-        pos = jnp.arange(T) + position_offset
-        x = self.embed_tokens(input_ids) + self.embed_positions(pos)[None]
+        pos, _ = resolve_positions(T, position_offset)  # [1|B, T]
+        x = self.embed_tokens(input_ids) + self.embed_positions(pos)
         if caches is not None:
             S = caches[0].k.value.shape[2]
-            mask = jnp.where(
-                jnp.arange(S)[None, :] <= pos[:, None], 0.0, -1e4
-            ).astype(x.dtype)
+            mask = causal_mask(T, S, position_offset, x.dtype)
         else:
-            mask = jnp.where(
-                jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e4
-            ).astype(x.dtype)
+            mask = causal_mask(T, T, 0, x.dtype)
         prefill_offset = (
             position_offset
             if (
@@ -270,11 +268,13 @@ class WhisperForConditionalGeneration(nnx.Module):
         h = self.model.decoder(decoder_input_ids, enc, caches, position_offset)
         return self.proj_out(h)
 
-    def init_cache(self, batch: int, max_len: int, dtype=None, quantized: bool = False):
+    def init_cache(self, batch: int, max_len: int, dtype=None,
+                   quantized: bool = False, per_row: bool = False):
         cfg = self.cfg
         return make_caches(cfg.decoder_layers, batch, cfg.decoder_attention_heads,
                            max_len, cfg.d_model // cfg.decoder_attention_heads,
-                           dtype or cfg.dtype, quantized=quantized)
+                           dtype or cfg.dtype, quantized=quantized,
+                           per_row=per_row)
 
     def generate(
         self,

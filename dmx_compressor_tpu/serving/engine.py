@@ -329,3 +329,245 @@ class ContinuousBatchingEngine:
         # modules so the model is usable outside the engine again
         self._sync_to_live()
         return self.finished
+
+
+@dataclasses.dataclass
+class _Seq2SeqRequest(_Request):
+    encoder_input: Optional[np.ndarray] = None
+
+
+class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
+    """Continuous batching for encoder-decoder models (Whisper-style).
+
+    Each slot additionally owns a row of a fixed-shape encoder-output
+    buffer [max_slots, S_enc, D]: admission encodes the request's input
+    once (inside the bucketed prefill program) and scatters the encoder
+    states into the slot; the decode step recomputes cross-attention
+    K/V from the slot's encoder row per token (the model's own decode
+    semantics, models/whisper.py).  Decoder self-attention uses the same
+    per-row KV caches as the causal-LM engine.
+
+    The model must expose ``encode(features)`` and
+    ``decode(ids, enc, caches, position_offset)`` with per-row
+    ``position_offset`` support.
+    """
+
+    def __init__(self, model, *, enc_capacity: Optional[int] = None,
+                 **kwargs):
+        super().__init__(model, **kwargs)
+        self._enc = None  # [max_slots, S_enc, D], allocated on first prefill
+        # ragged token-id encoder inputs (T5-style) are right-padded to
+        # enc_capacity and masked; fixed-shape feature inputs (Whisper) must
+        # all share one shape
+        self.enc_capacity = enc_capacity
+        self._enc_lens = np.zeros((self.max_slots,), np.int32)
+        import inspect
+
+        params = inspect.signature(model.decode).parameters
+        self._masked_encoder = (
+            "enc_mask" in params
+            and "attn_mask" in inspect.signature(model.encode).parameters
+        )
+
+    # ------------------------------------------------------------- intake
+
+    def submit(self, encoder_input, decoder_start_ids=None,
+               max_new_tokens: int = 16, eos_token_id: Optional[int] = None,
+               temperature: float = 0.0) -> int:
+        feats = np.asarray(encoder_input)  # audio features or token ids
+        if feats.ndim == 1:
+            assert self._masked_encoder, (
+                "ragged token-id encoder inputs need a model with "
+                "encode(attn_mask)/decode(enc_mask) support"
+            )
+            if self.enc_capacity is None:
+                self.enc_capacity = int(feats.size)
+            assert feats.size <= self.enc_capacity, (
+                f"encoder input length {feats.size} exceeds "
+                f"enc_capacity={self.enc_capacity}"
+            )
+        if decoder_start_ids is None:
+            decoder_start_ids = np.zeros((1,), np.int32)
+        prompt = np.asarray(decoder_start_ids, np.int32).reshape(-1)
+        assert prompt.size > 0
+        assert prompt.size <= max(self.prompt_buckets)
+        assert prompt.size + max_new_tokens <= self.max_len
+        rid = next(self._ids)
+        self.queue.append(
+            _Seq2SeqRequest(rid, prompt, max_new_tokens, eos_token_id,
+                            float(temperature), encoder_input=feats)
+        )
+        return rid
+
+    # ------------------------------------------------------------ prefill
+
+    def _prefill_fn(self, bucket: int, sampling: bool):
+        if (bucket, sampling) in self._prefill_fns:
+            return self._prefill_fns[(bucket, sampling)]
+        graphdef = nnx.split(self.model)[0]
+        quantized = self.quantized_kv
+        top_k = self.top_k
+
+        masked = self._masked_encoder
+
+        @jax.jit
+        def prefill(model_state, feats, ids, true_len, enc_len, key, temp):
+            mod = nnx.merge(graphdef, model_state)
+            caches = mod.init_cache(1, bucket, quantized=quantized)
+            if masked:
+                S = feats.shape[-1]
+                emask = jnp.where(
+                    jnp.arange(S)[None, None, None, :] < enc_len, 0.0, -1e4
+                ).astype(jnp.float32)
+                enc = mod.encode(feats, attn_mask=emask)  # [1, S_enc, D]
+                logits = mod.decode(ids, enc, caches=caches,
+                                    position_offset=0, enc_mask=emask)
+            else:
+                enc = mod.encode(feats)  # [1, S_enc, D]
+                logits = mod.decode(ids, enc, caches=caches,
+                                    position_offset=0)
+            boundary = jax.lax.dynamic_slice_in_dim(
+                logits[0], true_len - 1, 1, axis=0
+            )
+            if sampling:
+                nxt = _pick(boundary, key, temp[None], top_k)[0]
+            else:
+                nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
+            if quantized:
+                rows = (
+                    jnp.stack([c.k_q.value[0] for c in caches]),
+                    jnp.stack([c.v_q.value[0] for c in caches]),
+                    jnp.stack([c.k_scale.value[0] for c in caches]),
+                    jnp.stack([c.v_scale.value[0] for c in caches]),
+                )
+            else:
+                rows = (
+                    jnp.stack([c.k.value[0] for c in caches]),
+                    jnp.stack([c.v.value[0] for c in caches]),
+                )
+            return enc[0], rows, nxt
+
+        self._prefill_fns[(bucket, sampling)] = prefill
+        return prefill
+
+    def _admit(self) -> None:
+        for b, slot in enumerate(self.slots):
+            if not self.queue:
+                return
+            if slot.active:
+                continue
+            req = self.queue.popleft()
+            bucket = self._bucket_for(req.prompt.size)
+            ids = np.full((1, bucket), self.pad_id, np.int32)
+            ids[0, : req.prompt.size] = req.prompt
+            feats = req.encoder_input
+            enc_len = feats.shape[-1]
+            if feats.ndim == 1:  # ragged token ids: pad to capacity
+                enc_len = feats.size
+                padded = np.full((self.enc_capacity,), self.pad_id,
+                                 feats.dtype)
+                padded[: feats.size] = feats
+                feats = padded
+            model_state = nnx.split(self.model)[1]
+            self._key, sub = jax.random.split(self._key)
+            enc_row, rows, nxt = self._prefill_fn(
+                bucket, req.temperature > 0.0
+            )(
+                model_state, jnp.asarray(feats[None]),
+                jnp.asarray(ids), req.prompt.size, enc_len,
+                sub, jnp.float32(req.temperature),
+            )
+            self._enc_lens[b] = enc_len
+            if self._enc is None:
+                self._enc = jnp.zeros(
+                    (self.max_slots, *enc_row.shape), enc_row.dtype
+                )
+            self._enc = self._enc.at[b].set(enc_row)
+            for li, cache in enumerate(self.caches):
+                cache.write_row(b, *(r[li] for r in rows),
+                                length=req.prompt.size)
+            slot.request = req
+            slot.generated = [int(nxt)]
+            slot.last_token = int(nxt)
+            self._retire_if_done(b)
+
+    # ------------------------------------------------------------- decode
+
+    def _decode(self, burst: int, sampling: bool):
+        if (burst, sampling) in self._decode_fns:
+            return self._decode_fns[(burst, sampling)]
+        if self._graphdef is None:
+            self._graphdef = nnx.split((self.model, self.caches))[0]
+        graphdef = self._graphdef
+        top_k = self.top_k
+        import functools
+
+        masked = self._masked_encoder
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state, toks, key, temps, enc, enc_lens):
+            if masked:
+                S = enc.shape[1]
+                emask = jnp.where(
+                    jnp.arange(S)[None, None, None, :]
+                    < enc_lens[:, None, None, None],
+                    0.0, -1e4,
+                ).astype(jnp.float32)
+
+            def body(carry, _):
+                state, toks, key = carry
+                mod, caches = nnx.merge(graphdef, state)
+                off = caches[0].lengths.value
+                if masked:
+                    logits = mod.decode(toks, enc, caches=caches,
+                                        position_offset=off, enc_mask=emask)
+                else:
+                    logits = mod.decode(toks, enc, caches=caches,
+                                        position_offset=off)
+                _, s2 = nnx.split((mod, caches))
+                if sampling:
+                    key, sub = jax.random.split(key)
+                    nxt = _pick(logits[:, -1], sub, temps, top_k)
+                else:
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (s2, nxt[:, None], key), nxt
+
+            (state, _, _), seq = jax.lax.scan(
+                body, (state, toks, key), None, length=burst
+            )
+            return state, seq.T
+
+        self._decode_fns[(burst, sampling)] = step
+        return step
+
+    def step(self, burst: int = 1) -> List[GenerationResult]:
+        n_done = len(self.finished)
+        if self.queue and any(not s.active for s in self.slots):
+            self._sync_to_live()
+        self._admit()
+        if any(s.active for s in self.slots):
+            toks = jnp.asarray(
+                [[s.last_token] for s in self.slots], jnp.int32
+            )
+            if self._dstate is None:
+                self._dstate = nnx.split((self.model, self.caches))[1]
+            temps_host = [
+                s.request.temperature if s.active else 0.0
+                for s in self.slots
+            ]
+            sampling = any(t > 0.0 for t in temps_host)
+            temps = jnp.asarray(temps_host, jnp.float32)
+            self._key, sub = jax.random.split(self._key)
+            self._dstate, seq = self._decode(burst, sampling)(
+                self._dstate, toks, sub, temps, self._enc,
+                jnp.asarray(self._enc_lens),
+            )
+            seq = np.asarray(seq)
+            for j in range(burst):
+                for b, slot in enumerate(self.slots):
+                    if not slot.active:
+                        continue
+                    slot.generated.append(int(seq[b, j]))
+                    slot.last_token = int(seq[b, j])
+                    self._retire_if_done(b)
+        return self.finished[n_done:]
