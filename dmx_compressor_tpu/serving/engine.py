@@ -17,8 +17,12 @@ hf.py:314-361).  TPU-native design:
 - **Prefill-to-slot.**  A new request prefills in isolation (batch 1,
   prompt right-padded to a bucket) and its K/V rows are scattered into
   the free slot — decode latency of resident requests is unaffected by
-  admission compute only to the extent of the one prefill dispatch
-  (chunked prefill interleaving is a planned refinement).
+  admission compute only to the extent of the one prefill dispatch.
+- **Chunked prefill interleaving** (``prefill_chunk=N``): long prompts
+  are prefilled N tokens per engine step (cache prefix + fresh chunk,
+  the models' offset>0 ``flash_chunked_prefill`` routing), interleaved
+  with resident decode — per-step admission latency is bounded by one
+  chunk instead of one whole prompt.
 
 Works with any quantization configuration: the engine drives the live
 (possibly ``compress_for_inference``-packed) modules, so packed-BFP fused
@@ -69,6 +73,19 @@ class _Request:
 
 
 @dataclasses.dataclass
+class _ChunkedPrefill:
+    """In-flight chunked prefill occupying (but not yet decoding in) a
+    slot: a batch-1 cache filled ``prefill_chunk`` tokens per engine
+    step."""
+
+    request: _Request
+    cap: int  # batch-1 cache capacity (bucket rounded up to chunks)
+    cache_state: object  # nnx state of the single-request cache list
+    filled: int = 0
+    last_logits: object = None  # [1, C, V] of the most recent chunk
+
+
+@dataclasses.dataclass
 class _Slot:
     request: Optional[_Request] = None
     generated: List[int] = dataclasses.field(default_factory=list)
@@ -99,6 +116,7 @@ class ContinuousBatchingEngine:
         quantized_kv: bool = False,
         top_k: Optional[int] = None,
         seed: int = 0,
+        prefill_chunk: Optional[int] = None,
     ):
         self.model = model
         self.max_slots = max_slots
@@ -121,6 +139,11 @@ class ContinuousBatchingEngine:
         self._ids = itertools.count()
         self._prefill_fns: Dict[int, callable] = {}
         self._decode_fns: Dict[int, callable] = {}
+        self.prefill_chunk = prefill_chunk
+        self._prefilling: Dict[int, _ChunkedPrefill] = {}  # slot -> state
+        self._chunk_fns: Dict[tuple, callable] = {}
+        self._finalize_fns: Dict[tuple, callable] = {}
+        self._chunk_cache_defs: Dict[int, object] = {}
         # persistent device-side (model, caches) state for the decode hot
         # loop; None = the live modules are authoritative (after admission
         # writes or externally mutated state)
@@ -193,13 +216,130 @@ class ContinuousBatchingEngine:
         self._prefill_fns[(bucket, sampling)] = prefill
         return prefill
 
+    # ----------------------------------- chunked prefill (interleaved)
+
+    def _chunk_cap(self, n: int) -> int:
+        """Single-request cache capacity for a chunked prefill: the prompt
+        bucket rounded up to whole chunks (appends advance by exactly one
+        chunk per step, pad garbage included, so capacity must be a chunk
+        multiple)."""
+        c = self.prefill_chunk
+        return -(-self._bucket_for(n) // c) * c
+
+    def _chunk_fn(self, cap: int, offset: int):
+        """Jitted one-chunk prefill continuation: run ``prefill_chunk``
+        tokens at static ``offset`` over the request's private batch-1
+        cache (models route offset>0 prefills through
+        ops/flash_attention.flash_chunked_prefill when transparent)."""
+        if (cap, offset) in self._chunk_fns:
+            return self._chunk_fns[(cap, offset)]
+        graphdef = nnx.split(self.model)[0]
+        cache_def = self._chunk_cache_defs[cap]
+
+        @jax.jit
+        def chunk(model_state, cache_state, ids):
+            mod = nnx.merge(graphdef, model_state)
+            caches = nnx.merge(cache_def, cache_state)
+            logits = mod(ids, caches=caches, position_offset=offset)
+            return nnx.split(caches)[1], logits
+
+        self._chunk_fns[(cap, offset)] = chunk
+        return chunk
+
+    def _finalize_fn(self, cap: int, sampling: bool):
+        """Jitted chunked-prefill epilogue: pick the next token at the true
+        prompt boundary inside the final chunk's logits and stack the
+        filled cache rows for the slot scatter."""
+        if (cap, sampling) in self._finalize_fns:
+            return self._finalize_fns[(cap, sampling)]
+        cache_def = self._chunk_cache_defs[cap]
+        quantized = self.quantized_kv
+        top_k = self.top_k
+
+        @jax.jit
+        def finalize(cache_state, logits, pos_in_chunk, key, temp):
+            caches = nnx.merge(cache_def, cache_state)
+            boundary = jax.lax.dynamic_slice_in_dim(
+                logits[0], pos_in_chunk, 1, axis=0
+            )  # [1, V]
+            if sampling:
+                nxt = _pick(boundary, key, temp[None], top_k)[0]
+            else:
+                nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
+            if quantized:
+                rows = (
+                    jnp.stack([c.k_q.value[0] for c in caches]),
+                    jnp.stack([c.v_q.value[0] for c in caches]),
+                    jnp.stack([c.k_scale.value[0] for c in caches]),
+                    jnp.stack([c.v_scale.value[0] for c in caches]),
+                )
+            else:
+                rows = (
+                    jnp.stack([c.k.value[0] for c in caches]),
+                    jnp.stack([c.v.value[0] for c in caches]),
+                )
+            return rows, nxt
+
+        self._finalize_fns[(cap, sampling)] = finalize
+        return finalize
+
+    def _start_chunked(self, b: int, req: _Request) -> None:
+        cap = self._chunk_cap(req.prompt.size)
+        fresh = self.model.init_cache(1, cap, quantized=self.quantized_kv)
+        graphdef, state = nnx.split(fresh)
+        self._chunk_cache_defs.setdefault(cap, graphdef)
+        self._prefilling[b] = _ChunkedPrefill(req, cap, state)
+
+    def _advance_prefills(self) -> None:
+        """One chunk dispatch per prefilling slot; finished prefills scatter
+        their rows into the slot and join the decode batch next step."""
+        if not self._prefilling:
+            return
+        C = self.prefill_chunk
+        self._sync_to_live()  # live model/caches must be valid buffers
+        model_state = nnx.split(self.model)[1]
+        for b in list(self._prefilling):
+            st = self._prefilling[b]
+            req = st.request
+            ids = np.full((1, C), self.pad_id, np.int32)
+            seg = req.prompt[st.filled : st.filled + C]
+            ids[0, : seg.size] = seg
+            st.cache_state, st.last_logits = self._chunk_fn(st.cap, st.filled)(
+                model_state, st.cache_state, jnp.asarray(ids)
+            )
+            st.filled += C
+            if st.filled < req.prompt.size:
+                continue
+            # final chunk done: sample the boundary token, install the slot
+            self._key, sub = jax.random.split(self._key)
+            pos_in_chunk = req.prompt.size - 1 - (st.filled - C)
+            rows, nxt = self._finalize_fn(st.cap, req.temperature > 0.0)(
+                st.cache_state, st.last_logits, pos_in_chunk,
+                sub, jnp.float32(req.temperature),
+            )
+            for li, cache in enumerate(self.caches):
+                cache.write_row(b, *(r[li] for r in rows),
+                                length=req.prompt.size)
+            slot = self.slots[b]
+            slot.request = req
+            slot.generated = [int(nxt)]
+            slot.last_token = int(nxt)
+            del self._prefilling[b]
+            self._retire_if_done(b)
+
     def _admit(self) -> None:
         for b, slot in enumerate(self.slots):
             if not self.queue:
                 return
-            if slot.active:
+            if slot.active or b in self._prefilling:
                 continue
             req = self.queue.popleft()
+            if (
+                self.prefill_chunk is not None
+                and req.prompt.size > self.prefill_chunk
+            ):
+                self._start_chunked(b, req)
+                continue
             bucket = self._bucket_for(req.prompt.size)
             ids = np.full((1, bucket), self.pad_id, np.int32)
             ids[0, : req.prompt.size] = req.prompt
@@ -292,9 +432,14 @@ class ContinuousBatchingEngine:
         results.  Slots that finish mid-burst keep decoding garbage until
         the burst ends (truncated host-side, standard slot semantics)."""
         n_done = len(self.finished)
-        if self.queue and any(not s.active for s in self.slots):
+        free = any(
+            not s.active and b not in self._prefilling
+            for b, s in enumerate(self.slots)
+        )
+        if self.queue and free:
             self._sync_to_live()  # admission writes need the live caches
         self._admit()
+        self._advance_prefills()  # one chunk each, interleaved with decode
         if any(s.active for s in self.slots):
             toks = jnp.asarray(
                 [[s.last_token] for s in self.slots], jnp.int32
@@ -323,7 +468,10 @@ class ContinuousBatchingEngine:
 
     def run(self, burst: int = 1) -> List[GenerationResult]:
         """Drain the queue and all active slots to completion."""
-        while self.queue or any(s.active for s in self.slots):
+        while (
+            self.queue or self._prefilling
+            or any(s.active for s in self.slots)
+        ):
             self.step(burst)
         # hand the (donated-and-replaced) device state back to the live
         # modules so the model is usable outside the engine again
@@ -354,6 +502,11 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
 
     def __init__(self, model, *, enc_capacity: Optional[int] = None,
                  **kwargs):
+        assert kwargs.get("prefill_chunk") is None, (
+            "chunked prefill applies to decoder-only engines (seq2seq "
+            "decoder prompts are start tokens; the encoder pass is one "
+            "fixed-shape dispatch)"
+        )
         super().__init__(model, **kwargs)
         self._enc = None  # [max_slots, S_enc, D], allocated on first prefill
         # ragged token-id encoder inputs (T5-style) are right-padded to

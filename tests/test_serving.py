@@ -434,3 +434,76 @@ def test_seq2seq_engine_t5():
     results = {r.request_id: r for r in eng.run(burst=2)}
     for i, (rid, expect) in enumerate(zip(rids, refs)):
         assert results[rid].tokens == expect, f"request {i}"
+
+
+def test_chunked_prefill_matches_isolated():
+    """prefill_chunk splits long prompts into per-step chunk dispatches
+    (flash_chunked_prefill routing); final tokens must equal isolated
+    generation exactly.  Short prompts still take the single-dispatch
+    path."""
+    model = make_model()
+    long_p, short_p = prompts(21, 5)
+    eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                   prompt_buckets=(8, 24), prefill_chunk=8)
+    r_long = eng.submit(long_p, max_new_tokens=6)
+    r_short = eng.submit(short_p, max_new_tokens=6)
+    results = {r.request_id: r for r in eng.run()}
+    assert results[r_long].tokens == ref_generate(model, long_p, 6)
+    assert results[r_short].tokens == ref_generate(model, short_p, 6)
+
+
+def test_chunked_prefill_interleaves_decode():
+    """A resident slot keeps emitting one token per step while a long
+    prompt prefills chunk-by-chunk — admission latency is bounded by one
+    chunk, not one prompt."""
+    model = make_model()
+    resident, newcomer = prompts(5, 22)
+    eng = ContinuousBatchingEngine(model, max_slots=2, max_len=64,
+                                   prompt_buckets=(8, 24), prefill_chunk=8)
+    r0 = eng.submit(resident, max_new_tokens=12)
+    eng.step()  # admit + first token
+    assert len(eng.slots[0].generated) >= 1
+    r1 = eng.submit(newcomer, max_new_tokens=4)
+    # 22-token prompt over chunk=8 -> 3 chunk steps before slot 1 decodes
+    emitted = []
+    for _ in range(3):
+        eng.step()
+        emitted.append(len(eng.slots[0].generated))
+        assert 1 in eng._prefilling or eng.slots[1].active
+    # the resident slot advanced on every chunked-prefill step
+    assert emitted == [emitted[0] + i for i in range(3)]
+    results = {r.request_id: r for r in eng.run()}
+    assert results[r0].tokens == ref_generate(model, resident, 12)
+    assert results[r1].tokens == ref_generate(model, newcomer, 4)
+
+
+def test_chunked_prefill_quantized_kv():
+    """Chunked prefill through the int8 row cache: per-chunk quantized
+    appends land in the private cache, the scatter installs int8 payloads
+    + scales."""
+    model = make_model()
+    (p,) = prompts(19)
+    ref_eng = ContinuousBatchingEngine(model, max_slots=1, max_len=48,
+                                       prompt_buckets=(24,),
+                                       quantized_kv=True)
+    ref_eng.submit(p, max_new_tokens=6)
+    expect = ref_eng.run()[0].tokens
+    eng = ContinuousBatchingEngine(model, max_slots=1, max_len=48,
+                                   prompt_buckets=(24,), quantized_kv=True,
+                                   prefill_chunk=8)
+    eng.submit(p, max_new_tokens=6)
+    got = eng.run()[0].tokens
+    assert got == expect
+
+
+def test_seq2seq_rejects_prefill_chunk():
+    from dmx_compressor_tpu.models.whisper import (
+        WhisperConfig,
+        WhisperForConditionalGeneration,
+    )
+    from dmx_compressor_tpu.serving import Seq2SeqBatchingEngine
+
+    cfg = WhisperConfig.tiny()
+    model = WhisperForConditionalGeneration(cfg, rngs=nnx.Rngs(0))
+    with pytest.raises(AssertionError):
+        Seq2SeqBatchingEngine(model, prefill_chunk=4)
