@@ -26,6 +26,15 @@ from .. import rawnn
 from ..ops.kv_cache import KVCache, QuantizedKVCache, make_caches, quantized_sdpa
 
 
+def _post_update_lengths(cache):
+    """Per-row valid lengths AFTER this step's append — exactly what the
+    decode mask (col <= position_offset) encodes, in array form for the
+    flash-decode kernels."""
+    if hasattr(cache, "lengths"):
+        return cache.lengths.value  # [B] row caches
+    return cache.length.value  # scalar fill point, broadcast by the kernel
+
+
 @dataclasses.dataclass
 class OPTConfig:
     vocab_size: int = 50272
@@ -212,9 +221,23 @@ class OPTAttention(nnx.Module):
             out = flash_attention(q, k, v, causal=True, scale=self.scaling)
         elif quant and not prefill and transparent:
             # int8 fast path: K/V stay int8 in HBM, scales applied after the
-            # attention matmuls (ops/kv_cache.quantized_sdpa)
+            # attention matmuls.  At T==1 the blockwise flash-decode kernel
+            # dequantizes tiles in VMEM (no fp32 KV convert in HBM at long
+            # context); the OPT decode mask is always col < filled-length,
+            # which the cache lengths encode exactly.
             kv = cache.update_quantized(k, v)
-            out = quantized_sdpa(q, kv, attn_mask=attn_mask, scale=self.scaling)
+            from ..ops.flash_decode import flash_decode_int8, flash_decode_viable
+
+            if T == 1 and attn_mask is not None and flash_decode_viable(
+                kv.k_q.shape[-2]
+            ):
+                out = flash_decode_int8(
+                    q, kv, _post_update_lengths(cache), scale=self.scaling
+                )
+            else:
+                out = quantized_sdpa(
+                    q, kv, attn_mask=attn_mask, scale=self.scaling
+                )
         elif quant:
             # quantized storage + fake-quant sdpa (prefill or decode):
             # dequantize, then apply the module's cast/surrogate pipeline
@@ -235,7 +258,22 @@ class OPTAttention(nnx.Module):
             if cache is not None:
                 k, v, _ = cache.update(k, v)
             out = None
-            if cache is not None and T == 1 and attn_mask is not None:
+            if (
+                cache is not None and T == 1 and transparent
+                and attn_mask is not None
+            ):
+                # fp-cache decode through the flash-decode kernel: the cache
+                # buffer streams tile-by-tile in its carry layout, so the
+                # scan never materializes per-layer layout copies (the fp32
+                # baseline at 2k context OOMs on those, ROADMAP §2a)
+                from ..ops.flash_decode import flash_decode, flash_decode_viable
+
+                if flash_decode_viable(k.shape[-2]):
+                    out = flash_decode(
+                        q, k, v, _post_update_lengths(cache),
+                        scale=self.scaling,
+                    )
+            if out is None and cache is not None and T == 1 and attn_mask is not None:
                 # fused BASIC decode attention: the whole compound-SDPA
                 # pipeline (casts + surrogate softmax) in 2 Pallas kernels
                 from ..ops.basic_attention import basic_sdpa_decode, basic_sdpa_shape

@@ -1,0 +1,281 @@
+"""Flash-decode: single-query attention over a long KV cache, blockwise.
+
+Decode at long context is HBM-bound on the cache read.  The einsum
+decomposition (``quantized_sdpa`` / modular sdpa) makes XLA pick a
+D-on-lanes layout for the attention operands while the ``lax.scan`` decode
+carry keeps the cache S-minor — at 2k context that materializes a full
+layout copy of every per-layer KV buffer per step (the fp32 baseline leg
+of ``bench.py ... long`` OOMs on exactly this, docs/ROADMAP.md §2a).
+
+This kernel consumes the cache buffers in their native ``[B, H, S, D]``
+layout, streams K/V tiles through VMEM with an online softmax, and never
+materializes logits in HBM:
+
+- :func:`flash_decode` — float K/V, per-row valid lengths instead of an
+  additive mask (the decode mask is always ``col < filled_length``).
+- :func:`flash_decode_int8` — int8 K/V payloads with per-position scales
+  applied in VMEM *after* the matmuls (identical factorization to
+  ops/kv_cache.quantized_sdpa: the per-key scale commutes out of the QK
+  contraction, the per-value scale folds into the probabilities), so HBM
+  reads stay int8 at any context length.
+
+GQA is handled by the index map (query head h reads KV head h // rep) —
+no ``jnp.repeat`` materialization.
+
+Reference provenance: the reference has no serving/decode runtime at all
+(its SDPA is the unblocked compound module, torch_modules.py:108-191);
+this is TPU-native new surface like ops/flash_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+NEG_INF = -1e30
+
+
+def flash_decode_viable(S: int, block_k: int = 128) -> bool:
+    """Kernel routing gate: on-TPU and a tileable cache length."""
+    return jax.devices()[0].platform == "tpu" and S % min(block_k, S) == 0
+
+
+def _lengths_2d(lengths, B):
+    le = jnp.asarray(lengths, jnp.int32)
+    if le.ndim == 0:
+        le = jnp.broadcast_to(le[None], (B,))
+    return le.reshape(B, 1)
+
+
+def flash_decode_ref(q, k, v, lengths, scale=None):
+    """Unblocked reference: masked softmax attention for T==1 queries,
+    numerics matching the modular sdpa path."""
+    D = q.shape[-1]
+    scale = (D**-0.5) if scale is None else scale
+    if k.shape[-3] != q.shape[-3]:
+        rep = q.shape[-3] // k.shape[-3]
+        k = jnp.repeat(k, rep, axis=-3)
+        v = jnp.repeat(v, rep, axis=-3)
+    logits = jnp.einsum(
+        "bhld,bhsd->bhls", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    le = _lengths_2d(lengths, q.shape[0])  # [B, 1]
+    mask = jnp.arange(k.shape[-2])[None, :] < le  # [B, S]
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhls,bhsd->bhld", w, v.astype(jnp.float32)).astype(
+        q.dtype
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_k", "rep", "interpret")
+)
+def _decode_pallas(q, k, v, lengths, scale, block_k, rep, interpret=False):
+    from jax.experimental import pallas as pl
+
+    B, H, _, D = q.shape
+    S = k.shape[2]
+    nk = S // block_k
+
+    def kernel(q_ref, k_ref, v_ref, l_ref, o_ref):
+        qv = q_ref[0, 0].astype(jnp.float32) * scale  # [1, D]
+        le = l_ref[0, 0]
+
+        def body(kt, carry):
+            m_prev, l_prev, acc = carry
+            kv_ = k_ref[0, 0, pl.ds(kt * block_k, block_k), :].astype(
+                jnp.float32
+            )  # [BK, D]
+            vv = v_ref[0, 0, pl.ds(kt * block_k, block_k), :].astype(
+                jnp.float32
+            )
+            s = jax.lax.dot_general(
+                qv, kv_, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, BK]
+            col = kt * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            s = jnp.where(col < le, s, NEG_INF)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, vv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((1, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((1, 1), jnp.float32)
+        a0 = jnp.zeros((1, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1), lambda b, h: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        interpret=interpret,
+    )(q, k, v, lengths)
+
+
+def flash_decode(
+    q: Array,  # [B, H, 1, D]
+    k: Array,  # [B, Hkv, S, D] — the cache buffer, native layout
+    v: Array,  # [B, Hkv, S, D]
+    lengths,  # [B] per-row valid lengths (or a scalar), int32
+    scale: Optional[float] = None,
+    block_k: int = 128,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> Array:
+    """softmax((q k^T)*scale masked to col < lengths[b]) v for one query
+    per row.  Returns [B, H, 1, D]."""
+    B, H, T, D = q.shape
+    assert T == 1, "flash_decode is the single-query decode kernel"
+    S = k.shape[-2]
+    scale = (D**-0.5) if scale is None else float(scale)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu" or interpret
+    bk = min(block_k, S)
+    if not use_pallas or S % bk != 0:
+        return flash_decode_ref(q, k, v, lengths, scale)
+    rep = H // k.shape[1]
+    return _decode_pallas(
+        q, k, v, _lengths_2d(lengths, B), scale, bk, rep,
+        interpret=interpret,
+    )
+
+
+def flash_decode_int8_ref(q, kv, lengths, scale=None):
+    """Unblocked reference with quantized_sdpa's exact factorization."""
+    D = q.shape[-1]
+    scale = (D**-0.5) if scale is None else scale
+    k_q, v_q, k_s, v_s = kv.k_q, kv.v_q, kv.k_scale, kv.v_scale
+    if k_q.shape[-3] != q.shape[-3]:
+        rep = q.shape[-3] // k_q.shape[-3]
+        k_q = jnp.repeat(k_q, rep, axis=-3)
+        v_q = jnp.repeat(v_q, rep, axis=-3)
+        k_s = jnp.repeat(k_s, rep, axis=-2)
+        v_s = jnp.repeat(v_s, rep, axis=-2)
+    logits = jnp.einsum(
+        "bhld,bhsd->bhls", q.astype(jnp.float32), k_q.astype(jnp.float32)
+    ) * (k_s[:, :, None, :] * scale)
+    le = _lengths_2d(lengths, q.shape[0])
+    mask = jnp.arange(k_q.shape[-2])[None, :] < le
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhls,bhsd->bhld", w * v_s[:, :, None, :], v_q.astype(jnp.float32)
+    ).astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_k", "rep", "interpret")
+)
+def _decode_int8_pallas(
+    q, k_q, v_q, k_s, v_s, lengths, scale, block_k, rep, interpret=False
+):
+    from jax.experimental import pallas as pl
+
+    B, H, _, D = q.shape
+    S = k_q.shape[2]
+    nk = S // block_k
+
+    def kernel(q_ref, kq_ref, vq_ref, ks_ref, vs_ref, l_ref, o_ref):
+        qv = q_ref[0, 0].astype(jnp.float32)  # [1, D]
+        le = l_ref[0, 0]
+
+        def body(kt, carry):
+            m_prev, l_prev, acc = carry
+            sl = pl.ds(kt * block_k, block_k)
+            kq = kq_ref[0, 0, sl, :].astype(jnp.float32)  # int8 -> f32 in VMEM
+            vq = vq_ref[0, 0, sl, :].astype(jnp.float32)
+            ks = ks_ref[0, 0, sl][None, :]  # [1, BK]
+            vs = vs_ref[0, 0, sl][None, :]
+            s = jax.lax.dot_general(
+                qv, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (ks * scale)  # per-key scale applied after the matmul
+            col = kt * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            s = jnp.where(col < le, s, NEG_INF)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p * vs, vq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # per-value scale folds into the probabilities
+            return m_new, l_new, acc
+
+        m0 = jnp.full((1, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((1, 1), jnp.float32)
+        a0 = jnp.zeros((1, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, h: (b, h // rep, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, h: (b, h // rep, 0)),
+            pl.BlockSpec((1, 1), lambda b, h: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        interpret=interpret,
+    )(q, k_q, v_q, k_s, v_s, lengths)
+
+
+def flash_decode_int8(
+    q: Array,  # [B, H, 1, D]
+    kv,  # ops.kv_cache.QuantKV (int8 payloads + per-position scales)
+    lengths,  # [B] per-row valid lengths (or a scalar), int32
+    scale: Optional[float] = None,
+    block_k: int = 128,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> Array:
+    """quantized_sdpa's math, blockwise: int8 K/V stream through VMEM and
+    dequantize there — no fp32-sized KV convert is ever materialized in
+    HBM, at any context length (docs/ROADMAP.md §2)."""
+    B, H, T, D = q.shape
+    assert T == 1, "flash_decode_int8 is the single-query decode kernel"
+    S = kv.k_q.shape[-2]
+    scale = (D**-0.5) if scale is None else float(scale)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu" or interpret
+    bk = min(block_k, S)
+    if not use_pallas or S % bk != 0:
+        return flash_decode_int8_ref(q, kv, lengths, scale)
+    rep = H // kv.k_q.shape[1]
+    return _decode_int8_pallas(
+        q, kv.k_q, kv.v_q, kv.k_scale.astype(jnp.float32),
+        kv.v_scale.astype(jnp.float32), _lengths_2d(lengths, B),
+        scale, bk, rep, interpret=interpret,
+    )
