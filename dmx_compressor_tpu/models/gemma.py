@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, make_caches, quantized_sdpa
+from ..ops.kv_cache import KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -112,13 +112,10 @@ class GemmaAttention(nnx.Module):
                     B, T, self.num_heads * self.head_dim
                 )
                 return self.o_proj(out)
-        if cache is not None and getattr(cache, "quantized", False):
-            kv = cache.update_quantized(k, v)
-            out = quantized_sdpa(q, kv, attn_mask=attn_mask, enable_gqa=gqa)
-        else:
-            if cache is not None:
-                k, v, _ = cache.update(k, v)
-            out = self.sdpa(q, k, v, attn_mask=attn_mask, enable_gqa=gqa)
+        from ..ops.flash_decode import cached_attend
+
+        out = cached_attend(self.sdpa, q, k, v, cache, attn_mask,
+                            enable_gqa=gqa)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.num_heads * self.head_dim)
         return self.o_proj(out)
 

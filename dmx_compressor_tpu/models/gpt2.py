@@ -16,7 +16,7 @@ import numpy as np
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, make_caches, quantized_sdpa
+from ..ops.kv_cache import KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -80,13 +80,9 @@ class GPT2Attention(nnx.Module):
             )
             if out is not None:
                 return self.c_proj(out.transpose(0, 2, 1, 3).reshape(B, T, D))
-        if cache is not None and getattr(cache, "quantized", False):
-            kv = cache.update_quantized(k, v)
-            out = quantized_sdpa(q, kv, attn_mask=attn_mask)
-        else:
-            if cache is not None:
-                k, v, _ = cache.update(k, v)
-            out = self.sdpa(q, k, v, attn_mask=attn_mask)
+        from ..ops.flash_decode import cached_attend
+
+        out = cached_attend(self.sdpa, q, k, v, cache, attn_mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         return self.c_proj(out)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, make_caches, quantized_sdpa
+from ..ops.kv_cache import KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -82,7 +82,7 @@ class LlamaAttention(nnx.Module):
         return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
 
     def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None,
-                 prefill_offset: Optional[int] = None):
+                 prefill_offset: Optional[int] = None, plain_causal: bool = True):
         B, T, D = x.shape
         q = self._split(self.q_proj(x), self.num_heads)
         k = self._split(self.k_proj(x), self.num_kv_heads)
@@ -105,13 +105,10 @@ class LlamaAttention(nnx.Module):
             if out is not None:
                 out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
                 return self.o_proj(out)
-        if cache is not None and getattr(cache, "quantized", False):
-            kv = cache.update_quantized(k, v)
-            out = quantized_sdpa(q, kv, attn_mask=attn_mask, enable_gqa=gqa)
-        else:
-            if cache is not None:
-                k, v, _ = cache.update(k, v)
-            out = self.sdpa(q, k, v, attn_mask=attn_mask, enable_gqa=gqa)
+        from ..ops.flash_decode import cached_attend
+
+        out = cached_attend(self.sdpa, q, k, v, cache, attn_mask,
+                            enable_gqa=gqa, plain_causal=plain_causal)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         return self.o_proj(out)
 
@@ -140,10 +137,11 @@ class LlamaDecoderLayer(nnx.Module):
         self.resadd2 = rawnn.ResAdd()
 
     def __call__(self, x, cos, sin, attn_mask=None, cache=None,
-                 prefill_offset: Optional[int] = None):
+                 prefill_offset: Optional[int] = None, plain_causal: bool = True):
         x = self.resadd1(
             self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,
-                           prefill_offset=prefill_offset), x
+                           prefill_offset=prefill_offset,
+                           plain_causal=plain_causal), x
         )
         x = self.resadd2(self.mlp(self.post_attention_layernorm(x)), x)
         return x

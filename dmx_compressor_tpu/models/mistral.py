@@ -110,7 +110,8 @@ class MistralModel(nnx.Module):
         for i, layer in enumerate(self.layers):
             x = layer(x, cos, sin, attn_mask=mask,
                       cache=None if caches is None else caches[i],
-                      prefill_offset=prefill_offset)
+                      prefill_offset=prefill_offset,
+                      plain_causal=self.cfg.sliding_window is None)
         return self.norm(x)
 
 

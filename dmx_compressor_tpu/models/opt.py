@@ -26,13 +26,7 @@ from .. import rawnn
 from ..ops.kv_cache import KVCache, QuantizedKVCache, make_caches, quantized_sdpa
 
 
-def _post_update_lengths(cache):
-    """Per-row valid lengths AFTER this step's append — exactly what the
-    decode mask (col <= position_offset) encodes, in array form for the
-    flash-decode kernels."""
-    if hasattr(cache, "lengths"):
-        return cache.lengths.value  # [B] row caches
-    return cache.length.value  # scalar fill point, broadcast by the kernel
+from ..ops.flash_decode import post_update_lengths as _post_update_lengths
 
 
 @dataclasses.dataclass

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, make_caches, quantized_sdpa
+from ..ops.kv_cache import KVCache, make_caches
 from .llama import LlamaMLP
 
 
@@ -100,7 +100,7 @@ class Qwen3Attention(nnx.Module):
         return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
 
     def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None,
-                 prefill_offset: Optional[int] = None):
+                 prefill_offset: Optional[int] = None, plain_causal: bool = True):
         B, T, _ = x.shape
         q = self.q_norm(
             self.q_proj(x).reshape(B, T, self.num_heads, self.head_dim)
@@ -126,13 +126,10 @@ class Qwen3Attention(nnx.Module):
                     B, T, self.num_heads * self.head_dim
                 )
                 return self.o_proj(out)
-        if cache is not None and getattr(cache, "quantized", False):
-            kv = cache.update_quantized(k, v)
-            out = quantized_sdpa(q, kv, attn_mask=attn_mask, enable_gqa=gqa)
-        else:
-            if cache is not None:
-                k, v, _ = cache.update(k, v)
-            out = self.sdpa(q, k, v, attn_mask=attn_mask, enable_gqa=gqa)
+        from ..ops.flash_decode import cached_attend
+
+        out = cached_attend(self.sdpa, q, k, v, cache, attn_mask,
+                            enable_gqa=gqa, plain_causal=plain_causal)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.num_heads * self.head_dim)
         return self.o_proj(out)
 
@@ -148,10 +145,11 @@ class Qwen3DecoderLayer(nnx.Module):
         self.resadd2 = rawnn.ResAdd()
 
     def __call__(self, x, cos, sin, attn_mask=None, cache=None,
-                 prefill_offset: Optional[int] = None):
+                 prefill_offset: Optional[int] = None, plain_causal: bool = True):
         x = self.resadd1(
             self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,
-                           prefill_offset=prefill_offset), x
+                           prefill_offset=prefill_offset,
+                           plain_causal=plain_causal), x
         )
         x = self.resadd2(self.mlp(self.post_attention_layernorm(x)), x)
         return x
@@ -197,7 +195,8 @@ class Qwen3Model(nnx.Module):
         for i, layer in enumerate(self.layers):
             x = layer(x, cos, sin, attn_mask=mask,
                       cache=None if caches is None else caches[i],
-                      prefill_offset=prefill_offset)
+                      prefill_offset=prefill_offset,
+                      plain_causal=self.cfg.sliding_window is None)
         return self.norm(x)
 
 

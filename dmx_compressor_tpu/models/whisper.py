@@ -18,7 +18,7 @@ from flax import nnx
 
 from .. import rawnn
 from ..nn.experimental import Conv1dUnfold
-from ..ops.kv_cache import KVCache, make_caches, quantized_sdpa
+from ..ops.kv_cache import KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -117,13 +117,10 @@ class WhisperAttention(nnx.Module):
             )
             if out is not None:
                 return self.out_proj(out.transpose(0, 2, 1, 3).reshape(B, T, D))
-        if cache is not None and getattr(cache, "quantized", False):
-            kv = cache.update_quantized(k, v)
-            out = quantized_sdpa(q, kv, attn_mask=attn_mask, scale=self.scaling)
-        else:
-            if cache is not None:
-                k, v, _ = cache.update(k, v)
-            out = self.sdpa(q, k, v, attn_mask=attn_mask, scale=self.scaling)
+        from ..ops.flash_decode import cached_attend
+
+        out = cached_attend(self.sdpa, q, k, v, cache, attn_mask,
+                            scale=self.scaling)
         return self.out_proj(out.transpose(0, 2, 1, 3).reshape(B, T, D))
 
 
