@@ -5,3 +5,9 @@ from .io import (
     kwargs_to_string,
     compute_md5,
 )
+from .checkpoint import (
+    CheckpointManager,
+    restore_checkpoint,
+    restored_config,
+    save_checkpoint,
+)
