@@ -298,3 +298,26 @@ def test_sbfp_fused_kernel_interpret_exact():
         ref = np.asarray(sbfp_linear_ref(x, p, b))
         pal = np.asarray(sbfp_linear(x, p, b, use_pallas=True, interpret=True))
         np.testing.assert_allclose(pal, ref, atol=1e-5, rtol=1e-6)
+
+
+def test_bfp_fused_kernel_interpret_multitile():
+    """Fused BFP dequant-matmul == unpack-then-matmul reference across
+    multiple K tiles and small block sizes (interpret mode on CPU).
+
+    block_size=16 exercises the per-tile block cap (bk = 32 blocks -> 512)
+    and the slotted exponent layout with nt > 1; block_size=64 with K=4096
+    exercises two full 2048-wide tiles with grid accumulation."""
+    from dmx_compressor_tpu.ops.bfp_linear import bfp_linear, bfp_linear_ref
+    from dmx_compressor_tpu.ops.bfp_pack import bfp_pack
+
+    rs = np.random.RandomState(0)
+    for N, K, B in [(40, 1024, 16), (256, 4096, 64), (33, 80, 16)]:
+        w = jnp.asarray(rs.randn(N, K) * 0.3, jnp.float32)
+        packed = bfp_pack(w, 8, B)
+        x = jnp.asarray(rs.randn(8, K), jnp.float32)
+        b = jnp.asarray(rs.randn(N), jnp.float32)
+        ref = np.asarray(bfp_linear_ref(x, packed, b))
+        pal = np.asarray(
+            bfp_linear(x, packed, b, use_pallas=True, interpret=True)
+        )
+        np.testing.assert_allclose(pal, ref, atol=1e-4, rtol=1e-6)
