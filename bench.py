@@ -10,8 +10,14 @@ device-side as one ``lax.scan``.  ``vs_baseline`` divides by the same
 model's un-quantized fp32 throughput: >= 1.0 means quantization is
 profitable, not merely simulated.  (The full fake-quant BASIC mode — BFP
 activations + FLOAT16 boundaries + SIMD approximations — is also runnable
-via ``python bench.py opt-125m basic``; it currently trades ~2x decode
-throughput for bit-level activation parity, see README.)
+via ``python bench.py opt-125m basic``; it runs at >= 1x fp32 at 125m —
+bit-level activation parity at no decode-throughput cost, see README.)
+
+The printed ``value``/``vs_baseline`` are MEDIANS over the timed reps;
+``best`` is reported alongside so a single lucky rep can never become the
+headline.  ``hbm_gbps``/``hbm_util`` report the achieved weight+KV HBM
+stream per decode step against the chip's peak bandwidth (the decode
+regime is bandwidth-bound, so this is the speed-of-light yardstick).
 
 Timing note: results are host-readback synchronized; on tunneled TPUs
 ``block_until_ready`` is not a reliable completion barrier.
@@ -20,6 +26,7 @@ Timing note: results are host-readback synchronized; on tunneled TPUs
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -144,13 +151,91 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
             functools.partial(generate, n_steps=gen_len - 1), donate_argnums=0
         )
 
-    return state, jax.jit(prefill, donate_argnums=0), prepare
+    return state, jax.jit(prefill, donate_argnums=0), prepare, model, caches
 
 
-def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=3,
-        quantized_kv=False) -> float:
-    state, prefill, prepare = build(mode, cfg, prompt_len, gen_len, batch,
-                                    quantized_kv=quantized_kv)
+# v5e HBM peak; override with DMX_HBM_PEAK_GBPS for other chips
+HBM_PEAK_GBPS = 819.0
+
+
+def decode_step_hbm_bytes(model, caches, mode: str, avg_len: float) -> int:
+    """Per-decode-step HBM read stream: weights at their stored width + the
+    filled K/V cache at its storage width (averaged fill ``avg_len``).  A
+    deliberate lower bound — activations, masks, and carried-buffer rewrites
+    are excluded — so ``hbm_util`` understates rather than flatters."""
+    from flax import nnx as _nnx
+
+    from dmx_compressor_tpu.ops.compress import (
+        PackedBFPLinear,
+        PackedSBFPLinear,
+    )
+    from dmx_compressor_tpu.transform.substitute import (
+        _is_module_container,
+        _items,
+    )
+
+    weight_bytes = 0
+    seen = set()
+
+    def walk(container):
+        nonlocal weight_bytes
+        if id(container) in seen:
+            return
+        seen.add(id(container))
+        if isinstance(container, PackedBFPLinear):
+            n = container.in_features * container.out_features
+            if container.weight_bf16 is not None:
+                weight_bytes += 2 * n
+            else:
+                weight_bytes += n + n // container.block_size
+            return
+        if isinstance(container, PackedSBFPLinear):
+            n = container.in_features * container.out_features
+            if container.weight_bf16 is not None:
+                weight_bytes += 2 * n
+            else:
+                weight_bytes += n // 2 + 4 * (n // container.block_size)
+            return
+        if (
+            getattr(container, "in_features", None)
+            and getattr(container, "out_features", None)
+            and getattr(container, "weight", None) is not None
+        ):
+            w = getattr(container.weight, "value", None)
+            if w is not None:
+                weight_bytes += w.size * w.dtype.itemsize
+            return
+        for key, value in _items(container):
+            if isinstance(key, str) and key.startswith("_"):
+                continue
+            if _is_module_container(value) and not isinstance(value, _nnx.Variable):
+                walk(value)
+
+    walk(model)  # the tied LM head is a Linear after substitution: counted
+
+    kv_bytes = 0
+    for c in caches:
+        if getattr(c, "quantized", False):
+            B, H, _, D = c.k_q.value.shape
+            kv_bytes += int(2 * B * H * avg_len * (D + 4))  # int8 + f32 scale
+        elif getattr(c, "split", False):
+            B, H, _, D = c.base_k.value.shape
+            # decode reads the precomputed bf16 base casts + the fp16 tail
+            kv_bytes += int(2 * B * H * avg_len * D * 2)
+        else:
+            B, H, _, D = c.k.value.shape
+            kv_bytes += int(
+                2 * B * H * avg_len * D * c.k.value.dtype.itemsize
+            )
+    return weight_bytes + kv_bytes
+
+
+def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=5,
+        quantized_kv=False):
+    """Returns (list of per-rep tok/s, per-decode-step HBM byte model)."""
+    state, prefill, prepare, model, caches = build(
+        mode, cfg, prompt_len, gen_len, batch, quantized_kv=quantized_kv
+    )
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
 
@@ -158,7 +243,7 @@ def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=3,
     _ = float(jnp.sum(tok))
     state, generate = prepare(state)
 
-    best = 0.0
+    rates = []
     # each rep rewrites the same cache window (positions restart), so the
     # compute per rep is identical; rep 1 doubles as the compile warmup.
     # NOTE: the result is reduced and transferred to host inside the timed
@@ -170,8 +255,11 @@ def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=3,
         _ = float(jnp.sum(toks))  # true completion barrier
         dt = time.perf_counter() - t0
         if i > 0:
-            best = max(best, batch * (gen_len - 1) / dt)
-    return best
+            rates.append(batch * (gen_len - 1) / dt)
+    step_bytes = decode_step_hbm_bytes(
+        model, caches, mode, avg_len=prompt_len + (gen_len - 1) / 2
+    )
+    return rates, step_bytes
 
 
 def main():
@@ -192,8 +280,13 @@ def main():
         "opt-1.3b": OPTConfig.opt_1_3b,
     }[name]()
     lens = {"prompt_len": 1984, "gen_len": 65} if long_ctx else {}
-    quant = run(mode, cfg, quantized_kv=qkv, **lens)
-    base = run("baseline", cfg, **lens)
+    rates, step_bytes = run(mode, cfg, quantized_kv=qkv, **lens)
+    base_rates, _ = run("baseline", cfg, **lens)
+    quant = float(np.median(rates))
+    base = float(np.median(base_rates))
+    batch = 8
+    peak = float(os.environ.get("DMX_HBM_PEAK_GBPS", HBM_PEAK_GBPS)) * 1e9
+    hbm_gbps = step_bytes * (quant / batch) / 1e9
     tag = {"weights": "bfp16w", "sbfp": "sbfp12w"}.get(mode, mode)
     if qkv:
         tag += "_int8kv"
@@ -206,6 +299,10 @@ def main():
                 "value": round(quant, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(quant / base, 4),
+                "best": round(max(rates), 2),
+                "reps": len(rates),
+                "hbm_gbps": round(hbm_gbps, 1),
+                "hbm_util": round(hbm_gbps * 1e9 / peak, 3),
             }
         )
     )

@@ -62,10 +62,13 @@ class LayerReconstructionMixin:
         if self.smoothquant is not None:
             if self.smoothquant.fused_to_weight:
                 raise RuntimeError(
-                    "SmoothQuant cannot be calibrated because it has been fused to weight already"
+                    "calibrating a SmoothQuant whose scale was already folded "
+                    "into the weight would double-apply the migration"
                 )
             self.smoothquant.set_migration_strength(hyperparams.migration_strength)
-            self.smoothquant.set_dynamic(False)  # only static needs calibration
+            # dynamic mode recomputes maxabs per batch; the calibration pass
+            # only makes sense for the static variant
+            self.smoothquant.set_dynamic(False)
             self.smoothquant.enable(not state)
             self.smoothquant.calibrating = state
             if not state and hyperparams.fuse_to_weight:

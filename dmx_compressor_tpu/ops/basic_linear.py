@@ -179,10 +179,7 @@ def fused_basic_linear(
         # traffic (the decode win for deep-K layers); bias added in-kernel
         from .bfp_linear import bfp_linear
 
-        y = bfp_linear(
-            x2, packed, bias=bias,
-            use_pallas=None if interpret is None else not interpret,
-        )
+        y = bfp_linear(x2, packed, bias=bias, interpret=bool(interpret))
     if out_fp16:
         y = _fp16_cast_f32(y)
     if res_out is not None:

@@ -67,10 +67,8 @@ def _bfp_matmul_pallas(
     bm = max(8, min(128, _ceil_to(M, 8)))
     bn = min(bn, _ceil_to(N, 128))
     # K tile: keeps VMEM under budget (x f32 + man int8 + dequant f32 +
-    # scale f32, double buffered) while keeping quantization blocks whole;
-    # capped at 32 blocks per tile to bound the unrolled per-block scale
-    # broadcast below
-    bk = min(_ceil_to(K, block_size), 32 * block_size, 2048)
+    # scale f32, double buffered) while keeping quantization blocks whole
+    bk = min(_ceil_to(K, block_size), 2048)
     # pad operands to whole blocks (grid reads must stay in bounds)
     padM, padN, padK = (-M) % bm, (-N) % bn, (-K) % bk
     if padM:
@@ -96,26 +94,25 @@ def _bfp_matmul_pallas(
     ).reshape(Np, nt * ESLOT)
 
     def kernel(x_ref, man_ref, exp_ref, out_ref):
-        # Dequantize per block: scale each block's mantissa columns by a
-        # width-1 lane broadcast of its shared scale, then lane-concat the
-        # scaled blocks back into the full [bn, bk] tile and run ONE f32
-        # dot (bit-identical accumulation order to dequant-then-matmul).
-        # Mosaic has no element-repeat (pltpu.repeat tiles) and rejects
-        # sub-128 lane reshapes, but width-1 lane broadcasts and lane
-        # concatenation are native VPU ops — measured ~2x faster than the
-        # previous one-hot expansion matmul, whose [ESLOT, bk] contraction
-        # cost ~16x the decode-shape main matmul.
-        s = jnp.exp2(exp_ref[:].astype(jnp.float32) + (2 - precision))
-        w = jnp.concatenate(
-            [
-                man_ref[:, b * block_size : (b + 1) * block_size].astype(
-                    jnp.float32
-                )
-                * s[:, b][:, None]
-                for b in range(nb)
-            ],
-            axis=1,
-        )
+        # Expand per-block scales [bn, ESLOT] to per-lane [bn, bk] with a
+        # tiny 0/1 expansion matmul (E[b, c] = 1 iff c // B == b).  Mosaic
+        # has no element-repeat (pltpu.repeat tiles) and rejects sub-128 lane
+        # slices or reshapes, but an MXU matmul against an iota-built
+        # constant is fully supported, exact (one nonzero per output), and
+        # cheap.  Slot rows beyond nb hit no column (c // B < nb).
+        # (A per-block lane-concat formulation was tried in round 2 and
+        # measured 1.4-2x SLOWER at OPT-1.3B decode shapes on the real chip
+        # — tools/diag_bfpkernel_ab.py keeps the A/B.)
+        e = exp_ref[:].astype(jnp.float32)  # [bn, ESLOT]
+        s = jnp.exp2(e + (2 - precision))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ESLOT, bk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ESLOT, bk), 1)
+        expand = (cols // block_size == rows).astype(jnp.float32)
+        scale_full = jax.lax.dot_general(
+            s, expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bn, bk]
+        w = man_ref[:].astype(jnp.float32) * scale_full
         partial = jax.lax.dot_general(
             x_ref[:].astype(jnp.float32),
             w,
@@ -162,8 +159,10 @@ def bfp_linear(
     packed weight's last dim.
     """
     if use_pallas is None:
-        use_pallas = _on_tpu()
-    if not use_pallas and not interpret:
+        # interpret runs the Pallas interpreter (kernel-logic testing off-TPU)
+        # only when the caller did not explicitly ask for the reference path
+        use_pallas = _on_tpu() or interpret
+    if not use_pallas:
         return bfp_linear_ref(x, w, bias)
     lead = x.shape[:-1]
     K = x.shape[-1]
@@ -214,7 +213,7 @@ def _sbfp_matmul_pallas(
     N = man.shape[0]
     bm = max(8, min(128, _ceil_to(M, 8)))
     bn = min(bn, _ceil_to(N, 128))
-    bk = min(_ceil_to(K, block_size), 32 * block_size, 2048)
+    bk = min(_ceil_to(K, block_size), 2048)
     padM, padN, padK = (-M) % bm, (-N) % bn, (-K) % bk
     if padM:
         x = jnp.pad(x, ((0, padM), (0, 0)))
@@ -236,19 +235,17 @@ def _sbfp_matmul_pallas(
     ).reshape(Np, nt * ESLOT)
 
     def kernel(x_ref, man_ref, scale_ref, out_ref):
-        # per-block width-1 lane broadcast + lane concat (see the BFP kernel
-        # above); the per-block scale here is a direct f32 value
+        # one-hot expansion matmul (see the BFP kernel above); the per-block
+        # scale here is a direct f32 value
         s = scale_ref[:].astype(jnp.float32)  # [bn, ESLOT]
-        w = jnp.concatenate(
-            [
-                man_ref[:, b * block_size : (b + 1) * block_size].astype(
-                    jnp.float32
-                )
-                * s[:, b][:, None]
-                for b in range(nb)
-            ],
-            axis=1,
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ESLOT, bk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ESLOT, bk), 1)
+        expand = (cols // block_size == rows).astype(jnp.float32)
+        scale_full = jax.lax.dot_general(
+            s, expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        w = man_ref[:].astype(jnp.float32) * scale_full
         partial = jax.lax.dot_general(
             x_ref[:].astype(jnp.float32), w,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -301,8 +298,8 @@ def sbfp_linear(
 ) -> Array:
     """y = x @ dequant(sbfp).T + bias with fused on-chip dequantization."""
     if use_pallas is None:
-        use_pallas = _on_tpu()
-    if not use_pallas and not interpret:
+        use_pallas = _on_tpu() or interpret
+    if not use_pallas:
         return sbfp_linear_ref(x, w, bias)
     lead = x.shape[:-1]
     K = x.shape[-1]

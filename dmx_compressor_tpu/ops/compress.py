@@ -49,25 +49,29 @@ class PackedBFPLinear(DmxModule):
         self.precision = packed.precision
         self.block_size = packed.block_size
         # optional bf16 dequant cache for small-M (decode) matmuls; EXACT for
-        # mantissa width <= 8 (BFP16/14/12).  Per-layer policy measured on
-        # real hardware: the fused int8 kernel reads half the bytes and wins
-        # when the contraction is deep enough to amortize its per-tile scale
-        # expansion (OPT-1.3B all-fused: 1,605 vs 1,411 tok/s), while
-        # shallow-K / small weights are overhead-bound and the bf16 MXU path
-        # wins (OPT-125m: all-bf16 7,928 vs all-fused 5,397 vs
-        # lm-head-only-fused 6,624 tok/s).  Fused needs BOTH in_features >=
-        # 2048 AND >= 4M weights.  DMX_DECODE_BF16CACHE=1 / DMX_DECODE_FUSED=1
-        # force either path for A/B runs.
+        # mantissa width <= 8 (BFP16/14/12).  Per-layer policy re-measured on
+        # the real chip in round 3 (tools/diag_bfpkernel_ab.py, marginal
+        # per-call cost at OPT-1.3B decode shapes): the bf16 MXU path wins
+        # every transformer-block shape (qkv 18 vs 55us, fc1 27 vs 38, fc2
+        # 31 vs 30 tie), and the fused int8 kernel — which reads half the
+        # bytes — only wins once the weight is LM-head-sized and the read is
+        # genuinely bandwidth-bound (50k x 2048: 216 vs 297us).  [The round-2
+        # "fused wins at in_features >= 2048" policy came from a concat-form
+        # kernel measurement that did not hold up; it cost 1.3B BASIC decode
+        # 0.68x vs fp32.]  DMX_DECODE_BF16CACHE=1 / DMX_DECODE_FUSED=1 force
+        # either path for A/B runs.
         import os
 
         from .bfp_pack import bfp_unpack
 
         n_weights = self.in_features * self.out_features
-        use_bf16 = packed.precision <= 9 and (
-            self.in_features < 2048
-            or n_weights < 4_000_000
-            or os.environ.get("DMX_DECODE_BF16CACHE")
+        use_bf16 = packed.precision <= 9 and not (
+            self.in_features >= 1024
+            and self.out_features >= 16384
+            and n_weights >= 32_000_000
         )
+        if os.environ.get("DMX_DECODE_BF16CACHE"):
+            use_bf16 = packed.precision <= 9
         if os.environ.get("DMX_DECODE_FUSED"):
             use_bf16 = False
         self.weight_bf16 = (

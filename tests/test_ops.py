@@ -110,10 +110,10 @@ def test_compress_for_inference_preserves_numerics():
 
 
 def test_packed_linear_decode_path_policy():
-    """Per-layer decode path: bf16 dequant cache only for shallow-K / small
-    weights; deep-K large layers run the fused int8 kernel (hardware A/B in
-    ops/compress.py).  Both paths are exact for <= 8-bit mantissas, so the
-    policy must not change values."""
+    """Per-layer decode path: bf16 dequant cache everywhere except LM-head-
+    sized weights, which run the fused int8 kernel (round-3 hardware A/B in
+    ops/compress.py / tools/diag_bfpkernel_ab.py).  Both paths are exact for
+    <= 8-bit mantissas, so the policy must not change values."""
     from dmx_compressor_tpu.nn import modules as dmxnn_mod
 
     def make(in_f, out_f):
@@ -123,10 +123,18 @@ def test_packed_linear_decode_path_policy():
 
     small, _ = make(128, 64)  # shallow K -> bf16 cache
     assert small.weight_bf16 is not None
-    big, big_src = make(2048, 2048)  # deep K, >= 4M weights -> fused kernel
+    mid, mid_src = make(2048, 2048)  # block-sized layer -> bf16 cache (r3 A/B)
+    assert mid.weight_bf16 is not None
+    big, big_src = make(2048, 49152)  # LM-head-sized -> fused int8 kernel
     assert big.weight_bf16 is None
 
     x = randf(4, 2048)
+    # the bf16 decode cache is exact only for <= 8-bit-mantissa inputs (the
+    # quantized serving configs); feed a BFP-grid input for the comparison
+    xq = Format.from_shorthand("BFP[8|8]{64}(SN)").cast(x, block_dim=-1)
+    np.testing.assert_allclose(
+        np.asarray(mid(xq)), np.asarray(mid_src(xq)), rtol=1e-6, atol=1e-5
+    )
     np.testing.assert_allclose(
         np.asarray(big(x)), np.asarray(big_src(x)), rtol=1e-6, atol=1e-5
     )
@@ -321,3 +329,22 @@ def test_bfp_fused_kernel_interpret_multitile():
             bfp_linear(x, packed, b, use_pallas=True, interpret=True)
         )
         np.testing.assert_allclose(pal, ref, atol=1e-4, rtol=1e-6)
+
+
+def test_bfp_linear_pallas_tpu_smoke_small_blocks():
+    """Real-TPU (non-interpret) Mosaic compile + numerics for the fused
+    dequant matmul at block sizes 16 and 64 (ADVICE r2: the interpret-mode
+    tests bypass Mosaic entirely, so sub-128-lane handling must be proven on
+    hardware).  Runs only under DMX_TEST_TPU=1."""
+    import pytest
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs the real chip (DMX_TEST_TPU=1)")
+    for prec, bs, K, N in [(8, 16, 192, 300), (8, 64, 2048, 512), (4, 32, 256, 128)]:
+        fmt = Format.from_shorthand(f"BFP[{prec}|8]{{{bs}}}(SN)")
+        x = fmt.cast(randf(8, K), block_dim=-1)
+        w = randf(N, K)
+        packed = bfp_pack(w, prec, bs)
+        want = np.asarray(bfp_linear_ref(x, packed))
+        got = np.asarray(bfp_linear(x, packed, use_pallas=True))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
