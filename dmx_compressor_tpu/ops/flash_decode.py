@@ -155,6 +155,7 @@ def flash_decode_ref(q, k, v, lengths, scale=None):
 )
 def _decode_pallas(q, k, v, lengths, scale, block_k, rep, interpret=False):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     B, H, _, D = q.shape
     S = k.shape[2]
@@ -162,7 +163,9 @@ def _decode_pallas(q, k, v, lengths, scale, block_k, rep, interpret=False):
 
     def kernel(q_ref, k_ref, v_ref, l_ref, o_ref):
         qv = q_ref[0, 0].astype(jnp.float32) * scale  # [1, D]
-        le = l_ref[0, 0]
+        # lengths live whole in SMEM (a [B] blocked spec is not a legal
+        # Mosaic tile); indexed by the grid's batch coordinate
+        le = l_ref[pl.program_id(0)]
 
         def body(kt, carry):
             m_prev, l_prev, acc = carry
@@ -204,7 +207,7 @@ def _decode_pallas(q, k, v, lengths, scale, block_k, rep, interpret=False):
             pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h // rep, 0, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h // rep, 0, 0)),
-            pl.BlockSpec((1, 1), lambda b, h: (b, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
@@ -235,7 +238,7 @@ def flash_decode(
         return flash_decode_ref(q, k, v, lengths, scale)
     rep = H // k.shape[1]
     return _decode_pallas(
-        q, k, v, _lengths_2d(lengths, B), scale, bk, rep,
+        q, k, v, _lengths_2d(lengths, B).reshape(B), scale, bk, rep,
         interpret=interpret,
     )
 
@@ -270,6 +273,7 @@ def _decode_int8_pallas(
     q, k_q, v_q, k_s, v_s, lengths, scale, block_k, rep, interpret=False
 ):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     B, H, _, D = q.shape
     S = k_q.shape[2]
@@ -277,15 +281,17 @@ def _decode_int8_pallas(
 
     def kernel(q_ref, kq_ref, vq_ref, ks_ref, vs_ref, l_ref, o_ref):
         qv = q_ref[0, 0].astype(jnp.float32)  # [1, D]
-        le = l_ref[0, 0]
+        # lengths whole in SMEM; scales ride a lanes-last [1, S] layout
+        # (a [.., S]-blocked trailing dim is not a legal Mosaic tile)
+        le = l_ref[pl.program_id(0)]
 
         def body(kt, carry):
             m_prev, l_prev, acc = carry
             sl = pl.ds(kt * block_k, block_k)
             kq = kq_ref[0, 0, sl, :].astype(jnp.float32)  # int8 -> f32 in VMEM
             vq = vq_ref[0, 0, sl, :].astype(jnp.float32)
-            ks = ks_ref[0, 0, sl][None, :]  # [1, BK]
-            vs = vs_ref[0, 0, sl][None, :]
+            ks = ks_ref[0, 0, :, sl]  # [1, BK]
+            vs = vs_ref[0, 0, :, sl]
             s = jax.lax.dot_general(
                 qv, kq, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -318,9 +324,9 @@ def _decode_int8_pallas(
             pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h // rep, 0, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h // rep, 0, 0)),
-            pl.BlockSpec((1, 1, S), lambda b, h: (b, h // rep, 0)),
-            pl.BlockSpec((1, 1, S), lambda b, h: (b, h // rep, 0)),
-            pl.BlockSpec((1, 1), lambda b, h: (b, 0)),
+            pl.BlockSpec((1, 1, 1, S), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1, 1, S), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
@@ -350,8 +356,11 @@ def flash_decode_int8(
     if not use_pallas or S % bk != 0:
         return flash_decode_int8_ref(q, kv, lengths, scale)
     rep = H // kv.k_q.shape[1]
+    Hkv = kv.k_q.shape[1]
     return _decode_int8_pallas(
-        q, kv.k_q, kv.v_q, kv.k_scale.astype(jnp.float32),
-        kv.v_scale.astype(jnp.float32), _lengths_2d(lengths, B),
+        q, kv.k_q, kv.v_q,
+        kv.k_scale.astype(jnp.float32).reshape(B, Hkv, 1, S),
+        kv.v_scale.astype(jnp.float32).reshape(B, Hkv, 1, S),
+        _lengths_2d(lengths, B).reshape(B),
         scale, bk, rep, interpret=interpret,
     )

@@ -77,12 +77,21 @@ class InterceptRules:
         )
 
 
+def _apply_cast_module(c, x):
+    """Route an operand through a stateful CastTo; rank-0 operands stay
+    uncast (blocked casts have no dim to block over), matching _cast."""
+    if not hasattr(x, "ndim") or x.ndim == 0:
+        return x
+    return c(x)
+
+
 def _cast(x, shorthand: str, block_dim: int):
     fmt = Format.from_shorthand(shorthand)
     if isinstance(fmt, Same) or not hasattr(x, "ndim") or x.ndim == 0:
         return x
-    if getattr(fmt, "blocked", False) and x.shape[block_dim] % fmt.block_size:
-        return x  # remainder-less fast path only; odd tails stay uncast
+    # Format.cast handles non-multiple dims with a remainder block (the same
+    # contract as the module path, numerics/rounding.apply_blockwise) — no
+    # silent skip for odd tails.
     return fmt.cast(x, block_dim)
 
 
@@ -92,6 +101,24 @@ _INTERCEPTED = {
     "mul": "mul",
     "exp": "exp",
 }
+
+
+def _rule_casts(rule: "SiteRule", kind: str):
+    """Stateful CastTo quantizers for one site — the same objects the module
+    path hangs off NumericalCastMixin, so observers / calibration /
+    freeze-thaw behave identically (reference gives every fx-captured op the
+    full DmxModule quantizer surface, fx/transformer/utils.py:12-108;
+    calibration then applies to them like any module, cast.py:308-340)."""
+    from ..numerics.cast import CastTo
+
+    mult_bd = (
+        rule.multiplier_block_dim if kind == "dot" else rule.input_block_dim
+    )
+    return {
+        "input": CastTo(rule.input_format, block_dim=rule.input_block_dim),
+        "multiplier": CastTo(rule.multiplier_format, block_dim=mult_bd),
+        "output": CastTo(rule.output_format, block_dim=-1),
+    }
 
 
 def _is_site(eqn, kind) -> bool:
@@ -108,28 +135,71 @@ def _is_site(eqn, kind) -> bool:
 class QuantizedFunction:
     """A re-configurable fake-quantized view of an arbitrary jax function
     (the functional analogue of ``DmxModel.from_raw``: ``sites`` play the
-    role of module names, ``configure`` the role of config rules)."""
+    role of module names, ``configure`` the role of config rules).
+
+    Every site carries REAL :class:`~..numerics.cast.CastTo` quantizers
+    (``site_casts[site_id]["input"/"multiplier"/"output"]``) — observers,
+    affine qparams, calibration and freeze/thaw work exactly as on the
+    module path: run :meth:`enable_calibration`, stream data through the
+    function (eagerly — observer state mutates, like any nnx calibration
+    pass), then :meth:`enable_calibration` ``(False)`` to freeze.  Re-``jit``
+    after calibrating: a jitted closure bakes the qparams it saw at trace
+    time.
+    """
 
     def __init__(self, fn: Callable, example_args: Sequence[Any],
                  rules: Optional["InterceptRules"] = None):
         self._fn = fn
         self._example_args = tuple(example_args)
         self.rules = rules or InterceptRules.basic()
+        self.site_casts: Dict[str, Dict[str, Any]] = {}
         self._rebuild()
 
     def _rebuild(self):
-        self._qfn, self.sites = intercept(
-            self._fn, self._example_args, self.rules
+        _, self.sites = intercept(self._fn, self._example_args, self.rules)
+        for sid in self.sites:
+            if sid in self.site_casts:
+                continue
+            kind = sid.rsplit("_", 1)[0]
+            rule = self.rules.overrides.get(sid, getattr(self.rules, kind))
+            if rule is not None:
+                self.site_casts[sid] = _rule_casts(rule, kind)
+        self._qfn, _ = intercept(
+            self._fn, self._example_args, self.rules,
+            site_casts=self.site_casts,
         )
 
     def configure(self, overrides: Dict[str, "SiteRule"]) -> "QuantizedFunction":
-        """Apply per-site rule overrides (keys from ``self.sites``)."""
+        """Apply per-site rule overrides (keys from ``self.sites``).
+        Overridden sites get fresh quantizers (their observer state resets,
+        like reconfiguring a module's format)."""
         unknown = set(overrides) - set(self.sites)
         if unknown:
             raise ValueError(f"unknown sites: {sorted(unknown)}")
         self.rules.overrides.update(overrides)
+        for sid, rule in overrides.items():
+            self.site_casts[sid] = _rule_casts(rule, sid.rsplit("_", 1)[0])
         self._rebuild()
         return self
+
+    def enable_calibration(self, state: bool = True, **kwargs) -> "QuantizedFunction":
+        """Begin/end observer calibration on every site quantizer whose
+        format is not SAME — the module path's
+        ``CastTo.enable_calibration`` applied per site (``observer_cls``,
+        ``qscheme_to_overload``, ``group_size``, ``ch_axis`` pass through).
+        While calibrating, call the function EAGERLY (not under jit)."""
+        for casts in self.site_casts.values():
+            for c in casts.values():
+                if not isinstance(c.format, Same):
+                    c.enable_calibration(state, **kwargs)
+        return self
+
+    def named_quantizers(self):
+        """(site_id, slot, CastTo) triples — the functional analogue of the
+        module tree's named quantizer walk."""
+        for sid in self.sites:
+            for slot, c in self.site_casts.get(sid, {}).items():
+                yield sid, slot, c
 
     def __call__(self, *args):
         return self._qfn(*args)
@@ -139,6 +209,7 @@ def intercept(
     fn: Callable,
     example_args: Sequence[Any],
     rules: Optional[InterceptRules] = None,
+    site_casts: Optional[Dict[str, Dict[str, Any]]] = None,
 ) -> Tuple[Callable, List[str]]:
     """Return ``(quantized_fn, site_ids)`` for an arbitrary jax function.
 
@@ -146,9 +217,13 @@ def intercept(
     wrapped around every intercepted primitive; ``site_ids`` names the
     sites (``"<prim>_<index>"`` in trace order) for per-site overrides.
     Shapes are fixed by ``example_args`` (retrace per shape, like any
-    jaxpr-level tool).
+    jaxpr-level tool).  ``site_casts`` (site id -> {"input", "multiplier",
+    "output"} CastTo modules) routes matching sites through STATEFUL
+    quantizers instead of the rule's bare format strings — the calibration
+    surface (:class:`QuantizedFunction` builds and owns these).
     """
     rules = rules or InterceptRules.basic()
+    site_casts = site_casts or {}
     closed = jax.make_jaxpr(fn)(*example_args)
     flat_example, in_tree = jax.tree_util.tree_flatten(tuple(example_args))
 
@@ -212,29 +287,48 @@ def intercept(
             rule = getattr(rules, kind) if kind is not None else None
             if rule is not None and not _is_site(eqn, kind):
                 rule = None
+            casts = None
             if rule is not None:
                 i = counts.get(kind, 0)
                 counts[kind] = i + 1
-                rule = rules.overrides.get(f"{kind}_{i}", rule)
-                a = _cast(invals[0], rule.input_format, rule.input_block_dim)
-                bdim = (
-                    rule.multiplier_block_dim
-                    if kind == "dot"
-                    else rule.input_block_dim
-                )
-                b = (
-                    _cast(invals[1], rule.multiplier_format, bdim)
-                    if len(invals) > 1
-                    else None
-                )
+                sid = f"{kind}_{i}"
+                rule = rules.overrides.get(sid, rule)
+                casts = site_casts.get(sid)
+                if casts is not None:
+                    a = _apply_cast_module(casts["input"], invals[0])
+                    b = (
+                        _apply_cast_module(casts["multiplier"], invals[1])
+                        if len(invals) > 1
+                        else None
+                    )
+                else:
+                    a = _cast(
+                        invals[0], rule.input_format, rule.input_block_dim
+                    )
+                    bdim = (
+                        rule.multiplier_block_dim
+                        if kind == "dot"
+                        else rule.input_block_dim
+                    )
+                    b = (
+                        _cast(invals[1], rule.multiplier_format, bdim)
+                        if len(invals) > 1
+                        else None
+                    )
                 invals = [a] + ([b] + invals[2:] if b is not None else invals[1:])
             outvals = eqn.primitive.bind(*invals, **eqn.params)
             if not eqn.primitive.multiple_results:
                 outvals = [outvals]
             if rule is not None:
-                outvals = [
-                    _cast(o, rule.output_format, -1) for o in outvals
-                ]
+                if casts is not None:
+                    outvals = [
+                        _apply_cast_module(casts["output"], o)
+                        for o in outvals
+                    ]
+                else:
+                    outvals = [
+                        _cast(o, rule.output_format, -1) for o in outvals
+                    ]
             for v, o in zip(eqn.outvars, outvals):
                 write(v, o)
         return [read(v) for v in jaxpr.outvars]
