@@ -35,12 +35,39 @@ import numpy as np
 from flax import nnx
 
 
-def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
-          quantized_kv: bool = False):
-    from dmx_compressor_tpu.modeling.model import DmxModel
+def make_model(name: str, cfg):
+    """Model constructor per family (VERDICT r2 #3: per-family BASIC decode
+    numbers, one bench binary)."""
+    from dmx_compressor_tpu.models.llama import LlamaForCausalLM
     from dmx_compressor_tpu.models.opt import OPTForCausalLM
 
-    model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
+    cls = LlamaForCausalLM if name.startswith("llama") else OPTForCausalLM
+    return cls(cfg, rngs=nnx.Rngs(0))
+
+
+def model_config(name: str):
+    from dmx_compressor_tpu.models.llama import LlamaConfig
+    from dmx_compressor_tpu.models.opt import OPTConfig
+
+    if name == "llama-1.1b":
+        # TinyLlama-1.1B shape: GQA 32/4 heads, gated SiLU MLP, RoPE
+        return LlamaConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=22, num_attention_heads=32,
+            num_key_value_heads=4, max_position_embeddings=2048,
+        )
+    return {
+        "opt-125m": OPTConfig.opt_125m,
+        "opt-350m": OPTConfig.opt_350m,
+        "opt-1.3b": OPTConfig.opt_1_3b,
+    }[name]()
+
+
+def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
+          quantized_kv: bool = False, name: str = "opt"):
+    from dmx_compressor_tpu.modeling.model import DmxModel
+
+    model = make_model(name, cfg)
     dm = DmxModel.from_raw(model)
     if mode == "sbfp":
         # SBFP12_16 weight storage served from packed int4 payloads
@@ -123,11 +150,11 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
         the invariant base-segment casts (SplitKVCache), and returns the
         decode closure built from a FRESH graphdef so the new static
         attributes reach the decode trace."""
-        from dmx_compressor_tpu.models.opt import prepare_split_decode
+        from dmx_compressor_tpu.ops.split_decode import prepare_split_decode
 
         nnx.update((model, caches), state)
-        if hasattr(model, "model"):  # OPT-family
-            prepare_split_decode(model, caches)
+        prepare_split_decode(model, caches)  # family-independent; no-op
+        # for non-split caches
         graphdef2, state2 = nnx.split((model, caches))
 
         def generate(state, tok, n_steps: int):
@@ -231,10 +258,11 @@ def decode_step_hbm_bytes(model, caches, mode: str, avg_len: float) -> int:
 
 
 def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=5,
-        quantized_kv=False):
+        quantized_kv=False, name: str = "opt"):
     """Returns (list of per-rep tok/s, per-decode-step HBM byte model)."""
     state, prefill, prepare, model, caches = build(
-        mode, cfg, prompt_len, gen_len, batch, quantized_kv=quantized_kv
+        mode, cfg, prompt_len, gen_len, batch, quantized_kv=quantized_kv,
+        name=name,
     )
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
@@ -265,8 +293,6 @@ def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=5,
 def main():
     import sys
 
-    from dmx_compressor_tpu.models.opt import OPTConfig
-
     name = sys.argv[1] if len(sys.argv) > 1 else "opt-125m"
     mode = sys.argv[2] if len(sys.argv) > 2 else "weights"
     # int8 quantized KV cache (ops/kv_cache.py) is part of the headline
@@ -274,17 +300,17 @@ def main():
     # cache); pass "fpkv" to measure with a full-precision cache instead.
     qkv = mode in ("weights", "sbfp") and "fpkv" not in sys.argv[3:]
     long_ctx = "long" in sys.argv[3:]  # decode at ~2k context (KV-bound regime)
-    cfg = {
-        "opt-125m": OPTConfig.opt_125m,
-        "opt-350m": OPTConfig.opt_350m,
-        "opt-1.3b": OPTConfig.opt_1_3b,
-    }[name]()
+    cfg = model_config(name)
     lens = {"prompt_len": 1984, "gen_len": 65} if long_ctx else {}
-    rates, step_bytes = run(mode, cfg, quantized_kv=qkv, **lens)
-    base_rates, _ = run("baseline", cfg, **lens)
+    # 1.3B at 2k: the fp32 BASELINE leg's live state (5.2G weights + fp32
+    # caches + scan temps) exceeds the 15.75G HBM at batch 8; both legs run
+    # at batch 4 so the ratio stays apples-to-apples (batch is in the JSON)
+    batch = 4 if (long_ctx and "1.3b" in name) else 8
+    rates, step_bytes = run(mode, cfg, batch=batch, quantized_kv=qkv,
+                            name=name, **lens)
+    base_rates, _ = run("baseline", cfg, batch=batch, name=name, **lens)
     quant = float(np.median(rates))
     base = float(np.median(base_rates))
-    batch = 8
     peak = float(os.environ.get("DMX_HBM_PEAK_GBPS", HBM_PEAK_GBPS)) * 1e9
     hbm_gbps = step_bytes * (quant / batch) / 1e9
     tag = {"weights": "bfp16w", "sbfp": "sbfp12w"}.get(mode, mode)
@@ -301,6 +327,7 @@ def main():
                 "vs_baseline": round(quant / base, 4),
                 "best": round(max(rates), 2),
                 "reps": len(rates),
+                "batch": batch,
                 "hbm_gbps": round(hbm_gbps, 1),
                 "hbm_util": round(hbm_gbps * 1e9 / peak, 3),
             }

@@ -393,6 +393,7 @@ class Pipeline:
         dtype=jnp.float32,
     ):
         self.task = task
+        self.model_path = model_path
         raw, self.missed_keys = model_from_checkpoint(model_path, dtype=dtype)
         self.raw_model = raw
         self.model = DmxModel.from_raw(raw)
@@ -408,14 +409,41 @@ class Pipeline:
             self.configure_by_name(dmx_config)
 
     def configure_by_name(self, name: str) -> None:
+        """Resolve ``dmx_config`` like the reference's hub-named fetch
+        (reference hf.py:19-41 pulls ``configs/<name>.yaml`` from the HF
+        hub): built-in rule-set names, then an explicit path, then
+        ``configs/<name>.yaml`` next to a local checkpoint, then
+        ``DMX_CONFIG_PATH`` (colon-separated dirs), then — network
+        permitting — the hub download itself."""
         from .. import config_rules
 
         if name.upper() in ("BASELINE", "BASIC", "FP8"):
             self.model.configure(None, *getattr(config_rules, name.upper()))
-        elif os.path.exists(name):
-            self.model.configure(DmxConfig.from_yaml(name))
-        else:
-            raise ValueError(f"unknown dmx_config {name}")
+            return
+        candidates = [name]
+        base = name if name.endswith((".yaml", ".yml")) else f"{name}.yaml"
+        if os.path.isdir(self.model_path):
+            candidates.append(os.path.join(self.model_path, "configs", base))
+        for d in os.environ.get("DMX_CONFIG_PATH", "").split(":"):
+            if d:
+                candidates.append(os.path.join(d, base))
+        for c in candidates:
+            if os.path.exists(c):
+                self.model.configure(DmxConfig.from_yaml(c))
+                return
+        try:  # hub fetch; zero-egress environments fall through cleanly
+            from huggingface_hub import hf_hub_download
+
+            p = hf_hub_download(
+                repo_id=self.model_path, filename=f"configs/{base}"
+            )
+            self.model.configure(DmxConfig.from_yaml(p))
+            return
+        except Exception:
+            pass
+        raise ValueError(
+            f"unknown dmx_config {name} (searched: {candidates}, hub)"
+        )
 
     def evaluate(
         self,

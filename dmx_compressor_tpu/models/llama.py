@@ -81,12 +81,32 @@ class LlamaAttention(nnx.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
 
+    def fuse_for_inference(self) -> None:
+        """Merge q/k/v into one packed projection when possible (called by
+        ops.compress.compress_for_inference; bit-exact, decode-kernel-count
+        optimization — same as OPT's, GQA widths included)."""
+        from ..ops.compress import merge_parallel_linears
+
+        merged = merge_parallel_linears([self.q_proj, self.k_proj, self.v_proj])
+        if merged is not None:
+            self.qkv_merged = merged
+
+    def _project_qkv(self, x):
+        merged = getattr(self, "qkv_merged", None)
+        if merged is not None:
+            qkv = merged(x)
+            d = self.num_heads * self.head_dim
+            kv = self.num_kv_heads * self.head_dim
+            return qkv[..., :d], qkv[..., d : d + kv], qkv[..., d + kv :]
+        return self.q_proj(x), self.k_proj(x), self.v_proj(x)
+
     def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None,
                  prefill_offset: Optional[int] = None, plain_causal: bool = True):
         B, T, D = x.shape
-        q = self._split(self.q_proj(x), self.num_heads)
-        k = self._split(self.k_proj(x), self.num_kv_heads)
-        v = self._split(self.v_proj(x), self.num_kv_heads)
+        _q, _k, _v = self._project_qkv(x)
+        q = self._split(_q, self.num_heads)
+        k = self._split(_k, self.num_kv_heads)
+        v = self._split(_v, self.num_kv_heads)
         q, k = self.apply_rope(q, k, cos, sin)
         gqa = self.num_kv_heads != self.num_heads
         if prefill_offset is not None:
@@ -116,13 +136,28 @@ class LlamaAttention(nnx.Module):
 class LlamaMLP(nnx.Module):
     def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
         d, m = cfg.hidden_size, cfg.intermediate_size
+        self.intermediate_size = m
         self.gate_proj = nnx.Linear(d, m, use_bias=False, rngs=rngs)
         self.up_proj = nnx.Linear(d, m, use_bias=False, rngs=rngs)
         self.down_proj = nnx.Linear(m, d, use_bias=False, rngs=rngs)
         self.act_fn = rawnn.SiLU()
         self.mul = rawnn.Mul()
 
+    def fuse_for_inference(self) -> None:
+        """Merge gate/up into one packed projection (one fused kernel + one
+        shared input cast; bit-exact, see merge_parallel_linears)."""
+        from ..ops.compress import merge_parallel_linears
+
+        merged = merge_parallel_linears([self.gate_proj, self.up_proj])
+        if merged is not None:
+            self.gateup_merged = merged
+
     def __call__(self, x):
+        merged = getattr(self, "gateup_merged", None)
+        if merged is not None:
+            gu = merged(x)
+            m = self.intermediate_size
+            return self.down_proj(self.mul(self.act_fn(gu[..., :m]), gu[..., m:]))
         return self.down_proj(self.mul(self.act_fn(self.gate_proj(x)), self.up_proj(x)))
 
 
@@ -138,6 +173,20 @@ class LlamaDecoderLayer(nnx.Module):
 
     def __call__(self, x, cos, sin, attn_mask=None, cache=None,
                  prefill_offset: Optional[int] = None, plain_causal: bool = True):
+        if (
+            x.shape[1] == 1
+            and cache is not None
+            and attn_mask is not None
+            and plain_causal
+            and jnp.issubdtype(jnp.asarray(attn_mask).dtype, jnp.floating)
+        ):
+            from ..ops.basic_layer import basic_llama_layer_plan
+
+            plan = basic_llama_layer_plan(self)
+            if plan is not None:
+                return self._fused_basic_step(
+                    x, cos, sin, attn_mask, cache, plan
+                )
         x = self.resadd1(
             self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,
                            prefill_offset=prefill_offset,
@@ -145,6 +194,75 @@ class LlamaDecoderLayer(nnx.Module):
         )
         x = self.resadd2(self.mlp(self.post_attention_layernorm(x)), x)
         return x
+
+    def _fused_basic_step(self, x, cos, sin, attn_mask, cache, plan):
+        """BASIC decode step via the fused chains (ops/basic_layer.py):
+        RMS1+qkv / RoPE surrogate / fused SDPA (split-cache, GQA) / o_proj /
+        resadd1+RMS2+gate-up / SiLU*up / down_proj+resadd2 — numerics-
+        identical to the modular module pipeline (bounded only by f32
+        reduction order in the RMS moments)."""
+        from ..ops.basic_layer import (
+            fused_rms_linear,
+            rope_surrogate_fp16,
+            silu_surrogate_fp16,
+        )
+        from ..ops.basic_linear import fused_basic_linear
+        from ..ops.flash_decode import cached_attend
+
+        def w_kw(m):
+            if m.weight_bf16 is not None:
+                return {"w_bf16": m.weight_bf16.value}
+            return {"packed": m.packed}
+
+        B, T, D = x.shape
+        attn = self.self_attn
+        merged = attn.qkv_merged
+        qkv = fused_rms_linear(
+            x,
+            **w_kw(merged),
+            bias=merged.bias.value if merged.bias is not None else None,
+            rms_w=self.input_layernorm._weight,
+            eps=plan.ln1_eps,
+            wl=plan.wl,
+            in_block=plan.block,
+        )
+        d = attn.num_heads * attn.head_dim
+        kv = attn.num_kv_heads * attn.head_dim
+        q = attn._split(qkv[..., :d], attn.num_heads)
+        k = attn._split(qkv[..., d : d + kv], attn.num_kv_heads)
+        v = attn._split(qkv[..., d + kv :], attn.num_kv_heads)
+        q, k = rope_surrogate_fp16(q, k, cos, sin)
+        gqa = attn.num_kv_heads != attn.num_heads
+        ctx = cached_attend(attn.sdpa, q, k, v, cache, attn_mask,
+                            enable_gqa=gqa)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
+        y = attn.o_proj(ctx)  # PackedBFPLinear: one fused kernel
+        mlp = self.mlp
+        gateup = mlp.gateup_merged
+        gu, r = fused_rms_linear(
+            y,
+            **w_kw(gateup),
+            bias=gateup.bias.value if gateup.bias is not None else None,
+            rms_w=self.post_attention_layernorm._weight,
+            eps=plan.ln2_eps,
+            wl=plan.wl,
+            in_block=plan.block,
+            residual=x,
+            emit_pre=True,
+        )
+        m = mlp.intermediate_size
+        prod = silu_surrogate_fp16(gu[..., :m]) * gu[..., m:]  # Mul: SAME
+        down = mlp.down_proj
+        return fused_basic_linear(
+            prod,
+            w_bf16=down.weight_bf16.value if down.weight_bf16 is not None else None,
+            packed=None if down.weight_bf16 is not None else down.packed,
+            bias=down.bias.value if down.bias is not None else None,
+            in_wl=plan.wl,
+            in_block=plan.block,
+            out_fp16=True,
+            res_out=r,
+        )
 
 
 class LlamaModel(nnx.Module):
@@ -168,7 +286,7 @@ class LlamaModel(nnx.Module):
         pos, _ = resolve_positions(T, position_offset)
         cos, sin = self.rotary_emb(x, pos)
         if caches is not None:
-            S = caches[0].k.value.shape[2]
+            S = getattr(caches[0], "seq_len", None) or caches[0].k.value.shape[2]
             mask = causal_mask(T, S, position_offset, x.dtype)
         else:
             mask = causal_mask(T, T, 0, x.dtype)
@@ -208,7 +326,8 @@ class LlamaForCausalLM(nnx.Module):
         return self.lm_head(h)
 
     def init_cache(self, batch: int, max_len: int, dtype=None,
-                   quantized: bool = False, per_row: bool = False):
+                   quantized: bool = False, per_row: bool = False,
+                   split_base_len: Optional[int] = None):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -219,4 +338,5 @@ class LlamaForCausalLM(nnx.Module):
             dtype or cfg.dtype,
             quantized=quantized,
             per_row=per_row,
+            split_base_len=split_base_len,
         )

@@ -494,31 +494,9 @@ class OPTForCausalLM(nnx.Module):
         )
 
 
-def prepare_split_decode(model: "OPTForCausalLM", caches) -> None:
-    """Eagerly precompute the invariant base-segment BASIC casts after
-    prefill (run OUTSIDE jit, between the prefill and decode dispatches —
-    nnx static attributes set inside a traced function do not survive the
-    trace).  No-op for non-split caches or non-BASIC configs."""
-    from ..ops.basic_attention import (
-        basic_sdpa_shape,
-        cast_k_rows,
-        cast_v_sblocks,
-    )
-    from ..ops.kv_cache import SplitKVCache
-
-    layers = model.model.decoder.layers
-    for layer, cache in zip(layers, caches):
-        if not isinstance(cache, SplitKVCache):
-            continue
-        attn = layer.self_attn
-        p = basic_sdpa_shape(attn.sdpa, attn.head_dim, cache.tail_len)
-        if p is None or cache.base_len % p.block != 0:
-            continue
-        cache.set_base_cast(
-            cast_k_rows(cache.base_k.value, p.wl),
-            cast_v_sblocks(cache.base_v.value, p.block, p.wl),
-            key=(p.wl, p.block),
-        )
+# family-independent since r3 (ops/split_decode.py); re-exported for
+# backward compatibility with round-2 callers
+from ..ops.split_decode import prepare_split_decode  # noqa: E402,F401
 
 
 def loss_fn(logits, labels):

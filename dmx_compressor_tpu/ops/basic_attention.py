@@ -67,10 +67,33 @@ def _poly2exp_inline(x: Array, kmax: int, use_exp_large: bool) -> Array:
     return jnp.where(k_raw < -kmax, 0.0, out)
 
 
+def _group_queries(q: Array, n_kv: int):
+    """Reshape [B, H, 1, D] query heads into KV groups [B, Hkv, rows, D]
+    with rows >= 8 (zero-padded).  Query head h reads KV head h // rep (the
+    HF GQA convention), which is exactly the contiguous grouping this
+    reshape produces.  The >= 8 rows keep the QK/WV contractions true
+    dot_generals (a T=1 matvec lowers to a layout-flexible multiply-reduce
+    fusion, which lets layout assignment give the K/V cache an S-minor
+    layout — and an S-minor cache turns every dynamic_update_slice append
+    into a strided full-buffer rewrite, ~25us x n_layers per decode step,
+    measured).  The padded rows are free on the MXU (its minimum sublane
+    tile is 8 anyway).  Returns (grouped, rep, rows)."""
+    B, H, T, D = q.shape
+    assert T == 1
+    rep = H // n_kv
+    g = q.reshape(B, n_kv, rep, D)
+    rows = max(8, rep)
+    if rep == 1:
+        g = jnp.broadcast_to(g, (B, n_kv, rows, D))
+    elif rep < rows:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, rows - rep), (0, 0)))
+    return g, rep, rows
+
+
 def basic_sdpa_decode(
     q: Array,  # [B, H, 1, D]
-    k: Array,  # [B, H, S, D]
-    v: Array,  # [B, H, S, D]
+    k: Array,  # [B, Hkv, S, D] (Hkv == H for MHA; H % Hkv == 0 for GQA)
+    v: Array,  # [B, Hkv, S, D]
     mask_row: Array,  # broadcastable to [1, S], additive float mask
     *,
     scale: float,
@@ -86,14 +109,20 @@ def basic_sdpa_decode(
     7us/call vs 172us for the round-2 Pallas mega-kernel and ~250us for
     the modular module pipeline at OPT-125m decode shapes
     (tools/diag_marginal.py).
+
+    GQA consumes the KV heads directly (query heads grouped per KV head) —
+    no jnp.repeat materialization; numerics are per-query-row and
+    per-KV-row, so grouping is exact.
     """
     del interpret  # kept for API compatibility; no Pallas path remains
-    B, H, S, D = k.shape
-    assert q.shape == (B, H, 1, D)
+    B, Hkv, S, D = k.shape
+    H = q.shape[1]
+    assert q.shape == (B, H, 1, D) and H % Hkv == 0
     wl, block = params.wl, params.block
     nb = S // block
     mask_row = jnp.asarray(mask_row, jnp.float32)
-    if mask_row.ndim >= 2 and mask_row.shape[0] == B and B > 1:
+    per_row_mask = mask_row.ndim >= 2 and mask_row.shape[0] == B and B > 1
+    if per_row_mask:
         # per-row masks (continuous batching: each slot at its own offset)
         mask_row = mask_row.reshape(B, 1, 1, S)
     else:
@@ -112,20 +141,16 @@ def basic_sdpa_decode(
     kc = _bfp_cast_with_exponents(
         kf, jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape), wl
     )
-    # QK^T: bf16 MXU (exact for <= 8 quantized mantissa bits), f32 accum.
-    # The query row is broadcast to 8 rows so XLA lowers a true dot_general:
-    # a T=1 matvec lowers to a layout-flexible multiply-reduce fusion, which
-    # lets layout assignment give the K/V cache an S-minor layout — and an
-    # S-minor cache turns every dynamic_update_slice append into a strided
-    # full-buffer rewrite (~25us x 24 per decode step, measured).  dots pin
-    # default (D-minor) operand layouts; the 8x redundant rows are free on
-    # the MXU (its minimum sublane tile is 8 anyway).
+    # QK^T: bf16 MXU (exact for <= 8 quantized mantissa bits), f32 accum;
+    # query heads grouped per KV head (see _group_queries for the >= 8-row
+    # layout rationale)
+    qg, rep, rows = _group_queries(qc, Hkv)
     s = jnp.einsum(
-        "bhtd,bhsd->bhts",
-        jnp.broadcast_to(qc.astype(jnp.bfloat16), (B, H, 8, D)),
+        "bgrd,bgsd->bgrs",
+        qg.astype(jnp.bfloat16),
         kc.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    )[:, :, :1]
+    )[:, :, :rep].reshape(B, H, 1, S)
     s = _fp16_cast_f32(s)  # actmatmul output cast
     bias = _fp16_cast_f32(mask_row)  # resadd(0, mask) w/ fp16 casts
     s = _fp16_cast_f32(s + bias)  # resadd output cast
@@ -143,18 +168,18 @@ def basic_sdpa_decode(
     # scores cast: blocks along S (the 2nd actmatmul input cast)
     wc = cast_blocked_lastdim(w, block, wl)
     # V cast: blocks along S (the multiplier cast)
-    v5 = v.astype(jnp.float32).reshape(B, H, nb, block, D)
+    v5 = v.astype(jnp.float32).reshape(B, Hkv, nb, block, D)
     v_amax = jnp.max(jnp.abs(v5), axis=3, keepdims=True)
     vc = _bfp_cast_with_exponents(
         v5, jnp.broadcast_to(_exponent_with_sentinel(v_amax), v5.shape), wl
-    ).reshape(B, H, S, D)
-    # same 8-row broadcast as the QK dot (see comment above)
+    ).reshape(B, Hkv, S, D)
+    wg, rep, rows = _group_queries(wc.reshape(B, H, 1, S), Hkv)
     out = jnp.einsum(
-        "bhts,bhsd->bhtd",
-        jnp.broadcast_to(wc.astype(jnp.bfloat16), (B, H, 8, S)),
+        "bgrs,bgsd->bgrd",
+        wg.astype(jnp.bfloat16),
         vc.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    )[:, :, :1]
+    )[:, :, :rep].reshape(B, H, 1, D)
     return _fp16_cast_f32(out)  # actmatmul output cast
 
 
@@ -179,9 +204,9 @@ def cast_v_sblocks(v: Array, block: int, wl: int) -> Array:
 
 def basic_sdpa_decode_split(
     q: Array,  # [B, H, 1, D]
-    base_k: Array,  # [B, H, S0, D]  (invariant prefill segment)
+    base_k: Array,  # [B, Hkv, S0, D]  (invariant prefill segment)
     base_v: Array,
-    tail_k: Array,  # [B, H, C, D]   (mutable decode segment)
+    tail_k: Array,  # [B, Hkv, C, D]   (mutable decode segment)
     tail_v: Array,
     mask_row: Array,  # broadcastable to [1, S0 + C], additive float mask
     *,
@@ -198,9 +223,11 @@ def basic_sdpa_decode_split(
     score/V casts stay segment-local because S0 and C are multiples of the
     block size (blocks never straddle the boundary).  Only the final WV
     accumulation order differs (two partial f32 sums), the same
-    reassociation class as a K-tiled matmul.
+    reassociation class as a K-tiled matmul.  GQA as in
+    :func:`basic_sdpa_decode` (query heads grouped per KV head).
     """
-    B, H, S0, D = base_k.shape
+    B, Hkv, S0, D = base_k.shape
+    H = q.shape[1]
     C = tail_k.shape[2]
     wl, block = params.wl, params.block
     assert S0 % block == 0 and C % block == 0, (S0, C, block)
@@ -210,17 +237,19 @@ def basic_sdpa_decode_split(
     q_amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
     qc = _bfp_cast_with_exponents(
         qf, jnp.broadcast_to(_exponent_with_sentinel(q_amax), qf.shape), wl
-    ).astype(jnp.bfloat16)
-    q8 = jnp.broadcast_to(qc, (B, H, 8, D))
+    )
+    qg, rep, rows = _group_queries(qc, Hkv)
+    qg = qg.astype(jnp.bfloat16)
 
     def seg_scores(k_seg, precast):
         kc = precast if precast is not None else cast_k_rows(k_seg, wl).astype(
             jnp.bfloat16
         )
+        S_seg = k_seg.shape[2]
         return jnp.einsum(
-            "bhtd,bhsd->bhts", q8, kc,
+            "bgrd,bgsd->bgrs", qg, kc,
             preferred_element_type=jnp.float32,
-        )[:, :, :1]
+        )[:, :, :rep].reshape(B, H, 1, S_seg)
 
     s = jnp.concatenate(
         [seg_scores(base_k, base_k_cast), seg_scores(tail_k, None)], axis=-1
@@ -245,12 +274,13 @@ def basic_sdpa_decode_split(
         vc = precast if precast is not None else cast_v_sblocks(
             v_seg, block, wl
         ).astype(jnp.bfloat16)
+        wg, _, _ = _group_queries(w_seg.reshape(B, H, 1, S_seg), Hkv)
         return jnp.einsum(
-            "bhts,bhsd->bhtd",
-            jnp.broadcast_to(w_seg.astype(jnp.bfloat16), (B, H, 8, S_seg)),
+            "bgrs,bgsd->bgrd",
+            wg.astype(jnp.bfloat16),
             vc,
             preferred_element_type=jnp.float32,
-        )[:, :, :1]
+        )[:, :, :rep].reshape(B, H, 1, D)
 
     out = seg_out(wc[..., :S0], base_v, base_v_cast) + seg_out(
         wc[..., S0:], tail_v, None

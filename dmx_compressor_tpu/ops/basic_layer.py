@@ -113,6 +113,95 @@ def fused_ln_linear(
         return y, pre.astype(x.dtype)
     return y
 
+def rms_norm_surrogate_fp16(x: Array, w: Array, eps: float) -> Array:
+    """FLOAT16 input cast + RMS_NORM[vsimd] surrogate
+    (functional/simd_ops.rms_norm, tile_size=None, incl. the Newton-refined
+    rsqrt) + FLOAT16 output cast, inline."""
+    x16 = _fp16_cast_f32(x.astype(jnp.float32))
+    ms = jnp.mean(jnp.square(x16), axis=-1, keepdims=True)
+    r0 = jax.lax.rsqrt(ms + eps)
+    rr = r0 * (1.5 - 0.5 * (ms + eps) * r0 * r0)
+    y = x16 * rr * w.astype(jnp.float32)
+    return _fp16_cast_f32(y)
+
+
+def _poly2exp_fp32(x: Array, kmax: int = 15) -> Array:
+    """functional/simd_ops.poly2exp with knorm=0, inline f32."""
+    LN2 = 0.6931471805599453
+    INV_LN2 = 1.4426950408889634
+    k_raw = jnp.round(x * INV_LN2)
+    k = jnp.clip(k_raw, -kmax, kmax)
+    r = jnp.clip(x - k * LN2, -0.5 * LN2, 0.5 * LN2)
+    p = 1.0 + r * (1.0 + r * (0.5 + r * (0.16666667 + r * 0.041666668)))
+    return jnp.where(k_raw < -kmax, 0.0, p * jnp.exp2(k))
+
+
+def silu_surrogate_fp16(x: Array, kmax: int = 15) -> Array:
+    """FLOAT16 input cast + SILU[vsimd] surrogate (x * sigmoid(x) with the
+    poly2 exponential, functional/simd_ops.silu) + FLOAT16 output cast."""
+    x16 = _fp16_cast_f32(x.astype(jnp.float32))
+    e = _poly2exp_fp32(-jnp.abs(x16), kmax)
+    pos = 1.0 / (1.0 + e)
+    sig = jnp.where(x16 >= 0, pos, 1.0 - pos)
+    return _fp16_cast_f32(x16 * sig)
+
+
+def rope_surrogate_fp16(q: Array, k: Array, cos: Array, sin: Array):
+    """ApplyRotaryPosEmb under the BASIC rule set: FLOAT16 casts on all four
+    inputs, the APPLY_LLAMA_ROPE[vsimd] surrogate (rotate-half in fp32,
+    functional/simd_ops.apply_rotary_pos_emb, unsqueeze_dim=1), FLOAT16
+    casts on both outputs."""
+    qf = _fp16_cast_f32(q.astype(jnp.float32))
+    kf = _fp16_cast_f32(k.astype(jnp.float32))
+    cos_e = jnp.expand_dims(_fp16_cast_f32(cos.astype(jnp.float32)), 1)
+    sin_e = jnp.expand_dims(_fp16_cast_f32(sin.astype(jnp.float32)), 1)
+
+    def rotate_half(x):
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate([-x2, x1], axis=-1)
+
+    q_out = _fp16_cast_f32(qf * cos_e + rotate_half(qf) * sin_e)
+    k_out = _fp16_cast_f32(kf * cos_e + rotate_half(kf) * sin_e)
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def fused_rms_linear(
+    x: Array,
+    *,
+    packed: Optional[PackedBFP] = None,
+    w_bf16: Optional[Array] = None,
+    bias: Optional[Array] = None,
+    rms_w: Array,
+    eps: float,
+    wl: int,
+    in_block: int,
+    residual: Optional[Array] = None,
+    emit_pre: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """[resadd ->] RMS-surrogate -> BFP cast -> dequant matmul [-> bias]
+    -> FLOAT16 — the RMSNorm-family analogue of :func:`fused_ln_linear`
+    (Llama/Mistral/Gemma/Qwen3 layer chains).  With ``emit_pre`` also
+    returns the resadd output (the next residual)."""
+    h = x
+    if residual is not None:
+        h = resadd_fp16(h, residual)
+    pre = h
+    h = rms_norm_surrogate_fp16(h, rms_w, eps)
+    y = fused_basic_linear(
+        h,
+        w_bf16=w_bf16,
+        packed=packed,
+        bias=bias,
+        in_wl=wl,
+        in_block=in_block,
+        out_fp16=True,
+        interpret=interpret,
+    )
+    if emit_pre:
+        return y, pre.astype(x.dtype)
+    return y
+
 # ---------------------------------------------------------------------------
 # static shape detection
 # ---------------------------------------------------------------------------
@@ -233,6 +322,94 @@ def basic_head_plan(final_ln, lm_head) -> Optional[BasicHeadPlan]:
             wl=ic.format.precision,
             block=ic.format.block_size,
             ln_eps=float(final_ln.eps),
+        )
+    except (KeyError, AttributeError):
+        return None
+
+
+class BasicLlamaPlan(NamedTuple):
+    """Static parameters proving a Llama-family decoder layer is in the
+    exact BASIC decode shape the fused step reproduces."""
+
+    wl: int
+    block: int
+    ln1_eps: float
+    ln2_eps: float
+
+
+def _casts_same_ok(m) -> bool:
+    """All io casts SAME, no approximation (modules the BASIC rule set does
+    not configure, e.g. Mul)."""
+    from ..functional.approximate import NoApproximation
+    from ..numerics.format import Same
+
+    for name in m.input_cast_names:
+        if not isinstance(m.input_casts[name].format, Same):
+            return False
+    for name in m.output_cast_names:
+        if not isinstance(m.output_casts[name].format, Same):
+            return False
+    return isinstance(m.approximator.function, NoApproximation)
+
+
+def basic_llama_layer_plan(layer) -> Optional[BasicLlamaPlan]:
+    """Return the fused-step plan when a LlamaDecoderLayer-shaped module
+    (post compress_for_inference: merged qkv + merged gate/up) is in BASIC
+    decode shape; None -> modular path.  Checked surface mirrors
+    :func:`basic_layer_plan` plus the Llama-specific modules: RMSNorms with
+    the RMS_NORM[vsimd] surrogate, SiLU with SILU[vsimd] (default params),
+    Mul left SAME (the BASIC rule set does not configure it), RoPE with
+    APPLY_LLAMA_ROPE[vsimd] and FLOAT16 io on all four inputs."""
+    from ..nn import modules as dmxnn
+    from ..nn.core import DmxModule
+
+    if not DmxModule.inference_mode or DmxModule.plugins:
+        return None
+    attn = getattr(layer, "self_attn", None)
+    mlp = getattr(layer, "mlp", None)
+    try:
+        merged = getattr(attn, "qkv_merged", None)
+        gateup = getattr(mlp, "gateup_merged", None)
+        if merged is None or not _linear_basic_ok(merged, require_bias=False):
+            return None
+        if gateup is None or not _linear_basic_ok(gateup, require_bias=False):
+            return None
+        if not _linear_basic_ok(attn.o_proj, require_bias=False):
+            return None
+        if not _linear_basic_ok(mlp.down_proj, require_bias=False):
+            return None
+        ln1, ln2 = layer.input_layernorm, layer.post_attention_layernorm
+        for ln in (ln1, ln2):
+            if type(ln) is not dmxnn.RMSNorm or not _fp16_io_ok(ln, "rms_norm"):
+                return None
+            if ln.weight is None:
+                return None
+        for ra in (layer.resadd1, layer.resadd2):
+            if not isinstance(ra, dmxnn.ResAdd) or not _fp16_io_ok(ra, None):
+                return None
+        if not isinstance(mlp.act_fn, dmxnn.SiLU) or not _fp16_io_ok(
+            mlp.act_fn, "silu"
+        ):
+            return None
+        if not isinstance(mlp.mul, dmxnn.Mul) or not _casts_same_ok(mlp.mul):
+            return None
+        rope = attn.apply_rope
+        if not isinstance(rope, dmxnn.ApplyRotaryPosEmb) or not _fp16_io_ok(
+            rope, "apply_rotary_pos_emb"
+        ):
+            return None
+        ic = merged.input_casts["input_cast"]
+        if (
+            gateup.input_casts["input_cast"].format != ic.format
+            or mlp.down_proj.input_casts["input_cast"].format != ic.format
+            or attn.o_proj.input_casts["input_cast"].format != ic.format
+        ):
+            return None
+        return BasicLlamaPlan(
+            wl=ic.format.precision,
+            block=ic.format.block_size,
+            ln1_eps=float(ln1.eps),
+            ln2_eps=float(ln2.eps),
         )
     except (KeyError, AttributeError):
         return None

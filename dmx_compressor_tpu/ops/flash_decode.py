@@ -89,6 +89,11 @@ def cached_attend(
     scale_v = (D**-0.5) if scale is None else float(scale)
     quant = cache is not None and getattr(cache, "quantized", False)
     transparent = sdpa_transparent(sdpa)
+    if cache is not None and getattr(cache, "split", False):
+        return _split_cache_attend(
+            sdpa, q, k, v, cache, attn_mask, scale_v, transparent,
+            enable_gqa=enable_gqa,
+        )
     if quant and transparent:
         kv = cache.update_quantized(k, v)
         if (
@@ -110,15 +115,67 @@ def cached_attend(
         return flash_decode(q, k, v, post_update_lengths(cache), scale=scale_v)
     if (
         not transparent and cache is not None and T == 1
-        and attn_mask is not None and not enable_gqa
+        and attn_mask is not None
         and jnp.issubdtype(jnp.asarray(attn_mask).dtype, jnp.floating)
     ):
+        # GQA handled inside the fused kernel (query heads grouped per KV
+        # head — no repeat materialization)
         p = basic_sdpa_shape(sdpa, D, k.shape[-2])
         if p is not None:
             return basic_sdpa_decode(
                 q, k, v, attn_mask, scale=scale_v, params=p
             )
     return sdpa(q, k, v, attn_mask=attn_mask, scale=scale,
+                enable_gqa=enable_gqa)
+
+
+def _split_cache_attend(
+    sdpa, q, k, v, cache, attn_mask, scale: float, transparent: bool,
+    *, enable_gqa: bool = False,
+):
+    """Attention over a SplitKVCache for any decoder family (the shared
+    version of the OPT-only round-2 path): prefill writes the invariant
+    base segment, T==1 decode appends the small mutable tail and runs the
+    fused BASIC split kernel over precomputed base casts
+    (ops/basic_attention.basic_sdpa_decode_split, GQA-aware).
+
+    Caller contract: a T>1 call is a FRESH prefill of the base segment
+    starting at position 0 (split caches are a monolithic-prefill serving
+    configuration; chunked prefill uses row caches, and
+    flash_chunked_prefill refuses write_base caches for the same reason).
+    """
+    from .basic_attention import basic_sdpa_decode_split, basic_sdpa_shape
+
+    T = q.shape[-2]
+    if T > 1:
+        # prefill (tail appends are always single-token)
+        cache.write_base(k, v)
+        if transparent:
+            from .flash_attention import flash_attention
+
+            kf, vf = k, v
+            if enable_gqa and kf.shape[-3] != q.shape[-3]:
+                rep = q.shape[-3] // kf.shape[-3]
+                kf = jnp.repeat(kf, rep, axis=-3)
+                vf = jnp.repeat(vf, rep, axis=-3)
+            return flash_attention(q, kf, vf, causal=True, scale=scale)
+        # fresh k/v cover positions [0, T): slice the cache-wide mask
+        m = attn_mask[..., : k.shape[-2]] if attn_mask is not None else None
+        return sdpa(q, k, v, attn_mask=m, scale=scale,
+                    enable_gqa=enable_gqa)
+    if T == 1 and attn_mask is not None:
+        p = basic_sdpa_shape(sdpa, q.shape[-1], cache.tail_len)
+        if p is not None and cache.base_len % p.block == 0:
+            bk, bv, tk, tv = cache.append_tail(k, v)
+            precast = cache.base_cast_key == (p.wl, p.block)
+            return basic_sdpa_decode_split(
+                q, bk, bv, tk, tv, attn_mask, scale=scale, params=p,
+                base_k_cast=cache.base_k_cast.value if precast else None,
+                base_v_cast=cache.base_v_cast.value if precast else None,
+            )
+    # modular fallback: concatenate segments (correct, slower)
+    kf, vf, _ = cache.update(k, v)
+    return sdpa(q, kf, vf, attn_mask=attn_mask, scale=scale,
                 enable_gqa=enable_gqa)
 
 

@@ -72,8 +72,27 @@ TRANSFORMER_RULES: Tuple[Tuple[str, P], ...] = (
     # which the presets never do for embeddings)
     (r".*embed_tokens.*(scale|zero_point)(\.+value)?$", P()),
     (r".*embed_tokens.*", P("tp", None)),
+    # the tied LM head's canonical nnx state path goes through
+    # lm_head.embed_ref (shared-Variable dedup puts lm_head first), so the
+    # vocab sharding must match that path too — without it the whole
+    # embedding/LM-head fake-quant cast chain runs replicated on every tp
+    # shard (measured: the single largest tp-efficiency loss at tp8)
+    (r".*lm_head.*(scale|zero_point)(\.+value)?$", P()),
+    (r".*lm_head.*(embedding|weight|weight_bf16|weight_mantissa|weight_exponent)(\.+value)?$",
+     P("tp", None)),
     (r".*(wte|token_embedding)\..*", P("tp", None)),
     (r".*(embed_positions|wpe|position_embedding)\..*", P(None)),
+    # KV-cache buffers [B, H(kv), S, D]: batch over dp, heads over tp —
+    # head-parallel attention co-located with the column-parallel q/k/v
+    # projections.  Without this the per-step cache cast/attend work runs
+    # replicated on every tp shard and caps tp scaling (measured: decode
+    # flops_efficiency 0.65 at tp8 with replicated caches, ~0.99 sharded).
+    # GQA caches whose kv-head count does not divide tp fall back to
+    # replication via shard_state's divisibility check (reported, not
+    # silent).
+    (r".*\.(base_k|base_v|tail_k|tail_v|k_q|v_q|k|v)(\.+value)?$",
+     P("dp", "tp")),
+    (r".*\.(k_scale|v_scale)(\.+value)?$", P("dp", "tp")),
     # norms and everything else: replicated
     (r".*", P()),
 )

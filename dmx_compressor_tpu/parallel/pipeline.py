@@ -45,6 +45,7 @@ def pipeline_forward(
     num_microbatches: int,
     pp_axis: str = "pp",
     dp_axis: str | None = None,
+    param_specs=None,
 ):
     """Run ``x`` through L stacked layers, pipelined over ``mesh[pp_axis]``.
 
@@ -54,6 +55,14 @@ def pipeline_forward(
     one layer.  Returns ``layer_L(...layer_1(x))`` — identical (up to fp
     reassociation) to the sequential loop, with stage-to-stage transfers on
     ICI and a single compiled schedule.
+
+    ``param_specs`` (optional): per-leaf PartitionSpecs for the STAGED
+    params (leading dims [S, L/S, ...]) to compose tensor parallelism with
+    the pipeline — e.g. ``P("pp", None, None, "tp")`` column-shards a
+    [S, L/S, d, f] weight over a ``tp`` mesh axis; ``layer_apply`` then
+    sees tp-local shards and must ``lax.psum(.., "tp")`` after its
+    row-parallel contraction (the Megatron pattern, manual-collective form).
+    Default: params sharded over ``pp`` only.
     """
     S = mesh.shape[pp_axis]
     M = num_microbatches
@@ -68,7 +77,8 @@ def pipeline_forward(
     )
     mb = x.reshape((M, B // M) + x.shape[1:])
 
-    param_specs = jax.tree_util.tree_map(lambda _: P(pp_axis), staged)
+    if param_specs is None:
+        param_specs = jax.tree_util.tree_map(lambda _: P(pp_axis), staged)
     mb_spec = P(None, dp_axis) if dp_axis else P()
     out_spec = P(dp_axis) if dp_axis else P()
 

@@ -409,3 +409,57 @@ def export_stablehlo(fn, *example_args) -> str:
     hop is torch.export -> StableHLO -> DMIR,
     tests/compiler/dmir_compiler_e2e_tests.py:33-60)."""
     return jax.jit(fn).lower(*example_args).as_text("stablehlo")
+
+
+def export_stablehlo_bucketed(fn, example_args, *, axis_buckets):
+    """Multi-signature export — the TPU-idiomatic answer to the reference's
+    dynamic-shape export (``torch.export.Dim.AUTO``, reference
+    fx/transform.py:133-178): XLA programs are static-shape, so a consumer
+    gets one lowered program PER SHAPE BUCKET plus a dispatch table.
+
+    ``example_args``: the base example inputs.  ``axis_buckets``: dict
+    ``{arg_index: (axis, [sizes...])}`` — every combination of the listed
+    sizes is exported (non-listed args keep their example shape).  Returns
+    ``(programs, dispatch)`` where ``programs`` maps a shape-key string to
+    StableHLO text and ``dispatch(args) -> key`` picks the smallest bucket
+    that fits actual inputs (pad-to-bucket is the runtime contract, exactly
+    how the serving engine buckets prefills — serving/engine.py).
+    """
+    import itertools
+
+    import numpy as np
+
+    items = sorted(axis_buckets.items())
+    combos = itertools.product(*[sorted(sizes) for _, (_, sizes) in items])
+    programs = {}
+    for combo in combos:
+        args = list(example_args)
+        parts = []
+        for (idx, (axis, _)), size in zip(items, combo):
+            a = args[idx]
+            pad = [(0, 0)] * a.ndim
+            base = a.shape[axis % a.ndim]
+            if size >= base:
+                pad[axis % a.ndim] = (0, size - base)
+                args[idx] = jnp.asarray(np.pad(np.asarray(a), pad))
+            else:
+                sl = [slice(None)] * a.ndim
+                sl[axis % a.ndim] = slice(0, size)
+                args[idx] = a[tuple(sl)]
+            parts.append(f"a{idx}x{axis}={size}")
+        programs["_".join(parts)] = export_stablehlo(fn, *args)
+
+    def dispatch(args) -> str:
+        parts = []
+        for idx, (axis, sizes) in items:
+            actual = args[idx].shape[axis % args[idx].ndim]
+            fitting = [s for s in sorted(sizes) if s >= actual]
+            if not fitting:
+                raise ValueError(
+                    f"arg {idx} axis {axis} size {actual} exceeds the "
+                    f"largest bucket {max(sizes)}"
+                )
+            parts.append(f"a{idx}x{axis}={fitting[0]}")
+        return "_".join(parts)
+
+    return programs, dispatch

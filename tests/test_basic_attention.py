@@ -325,3 +325,57 @@ class TestOPTIntegration:
         vm = attn.v_proj(x)
         for got, want in zip(merged, (qm, km, vm)):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestGQA:
+    """GQA consumes KV heads directly (query heads grouped per KV head) —
+    must be value-identical to running the kernel over repeated KV heads,
+    since every cast is per-query-row / per-KV-row."""
+
+    @pytest.mark.parametrize("rep", [2, 4, 16])
+    def test_grouped_equals_repeated(self, rep):
+        sdpa = make_basic_sdpa()
+        B, Hkv, S, D = 2, 2, 128, 64
+        H = Hkv * rep
+        ks = jax.random.split(jax.random.key(9 + rep), 3)
+        q = jax.random.normal(ks[0], (B, H, 1, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+        mask = jnp.where(jnp.arange(S) < S - 16, 0.0, -1e4).astype(
+            jnp.float32
+        )[None, :]
+        p = basic_sdpa_shape(sdpa, D, S)
+        scale = D**-0.5
+        gqa = basic_sdpa_decode(q, k, v, mask, scale=scale, params=p)
+        rep_kv = basic_sdpa_decode(
+            q, jnp.repeat(k, rep, axis=1), jnp.repeat(v, rep, axis=1),
+            mask, scale=scale, params=p,
+        )
+        np.testing.assert_array_equal(np.asarray(gqa), np.asarray(rep_kv))
+
+    def test_split_gqa_equals_monolithic_gqa(self):
+        from dmx_compressor_tpu.ops.basic_attention import (
+            basic_sdpa_decode_split,
+        )
+
+        sdpa = make_basic_sdpa()
+        B, Hkv, rep, D = 2, 2, 8, 64
+        H = Hkv * rep
+        S0, C = 128, 64
+        ks = jax.random.split(jax.random.key(21), 3)
+        q = jax.random.normal(ks[0], (B, H, 1, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, Hkv, S0 + C, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, Hkv, S0 + C, D), jnp.float32)
+        mask = jnp.where(jnp.arange(S0 + C) < S0 + 7, 0.0, -1e4).astype(
+            jnp.float32
+        )[None, :]
+        p = basic_sdpa_shape(sdpa, D, S0 + C)
+        scale = 0.125
+        mono = basic_sdpa_decode(q, k, v, mask, scale=scale, params=p)
+        split = basic_sdpa_decode_split(
+            q, k[:, :, :S0], v[:, :, :S0], k[:, :, S0:], v[:, :, S0:],
+            mask, scale=scale, params=p,
+        )
+        np.testing.assert_allclose(
+            np.asarray(split), np.asarray(mono), rtol=1e-6, atol=1e-6
+        )
