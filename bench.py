@@ -243,14 +243,17 @@ def decode_step_hbm_bytes(model, caches, mode: str, avg_len: float) -> int:
     kv_bytes = 0
     for c in caches:
         if getattr(c, "quantized", False):
-            B, H, _, D = c.k_q.value.shape
+            B, H = c.k_q.value.shape[:2]
+            D = getattr(c, "head_dim", None) or c.k_q.value.shape[-1]
             kv_bytes += int(2 * B * H * avg_len * (D + 4))  # int8 + f32 scale
         elif getattr(c, "split", False):
-            B, H, _, D = c.base_k.value.shape
+            B, H = c.base_k.value.shape[:2]
+            D = c.head_dim
             # decode reads the precomputed bf16 base casts + the fp16 tail
             kv_bytes += int(2 * B * H * avg_len * D * 2)
         else:
-            B, H, _, D = c.k.value.shape
+            B, H = c.k.value.shape[:2]
+            D = getattr(c, "head_dim", None) or c.k.value.shape[-1]
             kv_bytes += int(
                 2 * B * H * avg_len * D * c.k.value.dtype.itemsize
             )

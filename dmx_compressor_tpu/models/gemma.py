@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, make_caches
+from ..ops.kv_cache import cache_seq_len, KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -175,7 +175,7 @@ class GemmaModel(nnx.Module):
         pos, _ = resolve_positions(T, position_offset)
         cos, sin = self.rotary_emb(x, pos)
         if caches is not None:
-            S = caches[0].k.value.shape[2]
+            S = cache_seq_len(caches[0])
             mask = causal_mask(T, S, position_offset, x.dtype)
         else:
             mask = causal_mask(T, T, 0, x.dtype)

@@ -16,7 +16,7 @@ import numpy as np
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, make_caches
+from ..ops.kv_cache import cache_seq_len, KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -130,7 +130,7 @@ class GPT2Model(nnx.Module):
         pos, _ = resolve_positions(T, position_offset)  # [1|B, T]
         x = self.wte(input_ids) + self.wpe(pos)
         if caches is not None:
-            S = caches[0].k.value.shape[2]
+            S = cache_seq_len(caches[0])
             mask = causal_mask(T, S, position_offset, x.dtype)
         else:
             mask = causal_mask(T, T, 0, x.dtype)

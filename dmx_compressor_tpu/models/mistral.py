@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import make_caches
+from ..ops.kv_cache import cache_seq_len, make_caches
 from .llama import LlamaDecoderLayer
 
 MistralDecoderLayer = LlamaDecoderLayer  # identical block structure
@@ -95,7 +95,7 @@ class MistralModel(nnx.Module):
         x = self.embed_tokens(input_ids)
         pos, _ = resolve_positions(T, position_offset)
         cos, sin = self.rotary_emb(x, pos)
-        S = caches[0].k.value.shape[2] if caches is not None else T
+        S = cache_seq_len(caches[0]) if caches is not None else T
         mask = self._mask(T, S, position_offset if caches is not None else 0, x.dtype)
         prefill_offset = (
             position_offset

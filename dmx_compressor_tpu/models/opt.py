@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, QuantizedKVCache, make_caches, quantized_sdpa
+from ..ops.kv_cache import cache_seq_len, KVCache, QuantizedKVCache, make_caches, quantized_sdpa
 
 
 from ..ops.flash_decode import post_update_lengths as _post_update_lengths
@@ -123,13 +123,14 @@ class OPTAttention(nnx.Module):
         if T == 1 and attn_mask is not None:
             p = basic_sdpa_shape(self.sdpa, self.head_dim, cache.tail_len)
             if p is not None and cache.base_len % p.block == 0:
-                bk, bv, tk, tv = cache.append_tail(k, v)
+                bk, bv, tk, tv = cache.append_tail(k, v)  # raw s_minor
                 precast = cache.base_cast_key == (p.wl, p.block)
                 return basic_sdpa_decode_split(
                     q, bk, bv, tk, tv, attn_mask,
                     scale=self.scaling, params=p,
                     base_k_cast=cache.base_k_cast.value if precast else None,
                     base_v_cast=cache.base_v_cast.value if precast else None,
+                    s_minor=True,
                 )
         # modular fallback: concatenate segments (correct, slower)
         kf, vf, _ = cache.update(k, v)
@@ -222,9 +223,8 @@ class OPTAttention(nnx.Module):
             kv = cache.update_quantized(k, v)
             from ..ops.flash_decode import flash_decode_int8, flash_decode_viable
 
-            if T == 1 and attn_mask is not None and flash_decode_viable(
-                kv.k_q.shape[-2]
-            ):
+            S_kv = kv.k_q.shape[-1] if kv.s_minor else kv.k_q.shape[-2]
+            if T == 1 and attn_mask is not None and flash_decode_viable(S_kv):
                 out = flash_decode_int8(
                     q, kv, _post_update_lengths(cache), scale=self.scaling
                 )
@@ -263,10 +263,18 @@ class OPTAttention(nnx.Module):
                 from ..ops.flash_decode import flash_decode, flash_decode_viable
 
                 if flash_decode_viable(k.shape[-2]):
-                    out = flash_decode(
-                        q, k, v, _post_update_lengths(cache),
-                        scale=self.scaling,
-                    )
+                    if getattr(cache, "s_minor", False) and not cache.quantized:
+                        # native (unpadded) cache layout, no transpose
+                        out = flash_decode(
+                            q, cache.k.value, cache.v.value,
+                            _post_update_lengths(cache),
+                            scale=self.scaling, s_minor=True,
+                        )
+                    else:
+                        out = flash_decode(
+                            q, k, v, _post_update_lengths(cache),
+                            scale=self.scaling,
+                        )
             if out is None and cache is not None and T == 1 and attn_mask is not None:
                 # fused BASIC decode attention: the whole compound-SDPA
                 # pipeline (casts + surrogate softmax) in 2 Pallas kernels
@@ -411,7 +419,7 @@ class OPTDecoder(nnx.Module):
 
         # causal mask; with a cache, queries attend to all filled slots
         if caches is not None:
-            S = getattr(caches[0], "seq_len", None) or caches[0].k.value.shape[2]
+            S = cache_seq_len(caches[0])
             mask = causal_mask(T, S, position_offset, x.dtype)
         else:
             mask = jnp.where(

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import rawnn
-from ..ops.kv_cache import KVCache, make_caches
+from ..ops.kv_cache import cache_seq_len, KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -286,7 +286,7 @@ class T5Stack(nnx.Module):
 
         B, T = input_ids.shape
         x = self.embed_tokens(input_ids)
-        S = caches[0].k.value.shape[2] if caches is not None else T
+        S = cache_seq_len(caches[0]) if caches is not None else T
         off = position_offset if caches is not None else 0
         bias = self.block[0].self_attn.compute_bias(
             T, S, query_offset=off

@@ -18,7 +18,7 @@ from flax import nnx
 
 from .. import rawnn
 from ..nn.experimental import Conv1dUnfold
-from ..ops.kv_cache import KVCache, make_caches
+from ..ops.kv_cache import cache_seq_len, KVCache, make_caches
 
 
 @dataclasses.dataclass
@@ -217,7 +217,7 @@ class WhisperDecoder(nnx.Module):
         pos, _ = resolve_positions(T, position_offset)  # [1|B, T]
         x = self.embed_tokens(input_ids) + self.embed_positions(pos)
         if caches is not None:
-            S = caches[0].k.value.shape[2]
+            S = cache_seq_len(caches[0])
             mask = causal_mask(T, S, position_offset, x.dtype)
         else:
             mask = causal_mask(T, T, 0, x.dtype)

@@ -202,11 +202,35 @@ def cast_v_sblocks(v: Array, block: int, wl: int) -> Array:
     ).reshape(B, H, S, D)
 
 
+def cast_k_rows_sm(kT: Array, wl: int) -> Array:
+    """cast_k_rows on a sequence-minor [B, H, D, S] buffer: one BFP block
+    per cache position = amax over the D axis.  Value-identical to
+    ``cast_k_rows(kT.swapaxes(-1, -2)).swapaxes(-1, -2)`` without the
+    transpose (the cast is elementwise given the per-block amax)."""
+    kf = kT.astype(jnp.float32)
+    k_amax = jnp.max(jnp.abs(kf), axis=-2, keepdims=True)
+    return _bfp_cast_with_exponents(
+        kf, jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape), wl
+    )
+
+
+def cast_v_sblocks_sm(vT: Array, block: int, wl: int) -> Array:
+    """cast_v_sblocks on a sequence-minor [B, H, D, S] buffer: S-blocks are
+    now contiguous along the minor axis (the reshape is free, unlike the
+    D-minor form's strided regroup)."""
+    B, H, D, S = vT.shape
+    v5 = vT.astype(jnp.float32).reshape(B, H, D, S // block, block)
+    v_amax = jnp.max(jnp.abs(v5), axis=-1, keepdims=True)
+    return _bfp_cast_with_exponents(
+        v5, jnp.broadcast_to(_exponent_with_sentinel(v_amax), v5.shape), wl
+    ).reshape(B, H, D, S)
+
+
 def basic_sdpa_decode_split(
     q: Array,  # [B, H, 1, D]
-    base_k: Array,  # [B, Hkv, S0, D]  (invariant prefill segment)
+    base_k: Array,  # [B, Hkv, S0, D]  ([B, Hkv, D, S0] when s_minor)
     base_v: Array,
-    tail_k: Array,  # [B, Hkv, C, D]   (mutable decode segment)
+    tail_k: Array,  # [B, Hkv, C, D]   ([B, Hkv, D, C] when s_minor)
     tail_v: Array,
     mask_row: Array,  # broadcastable to [1, S0 + C], additive float mask
     *,
@@ -214,6 +238,7 @@ def basic_sdpa_decode_split(
     params: BasicSDPAParams,
     base_k_cast: Optional[Array] = None,  # bf16 precomputed base casts
     base_v_cast: Optional[Array] = None,
+    s_minor: bool = False,
 ) -> Array:
     """BASIC compound-SDPA decode over a split KV cache (ops/kv_cache.py
     SplitKVCache) without concatenating the segments.
@@ -225,10 +250,18 @@ def basic_sdpa_decode_split(
     accumulation order differs (two partial f32 sums), the same
     reassociation class as a K-tiled matmul.  GQA as in
     :func:`basic_sdpa_decode` (query heads grouped per KV head).
+
+    ``s_minor=True`` consumes [B, Hkv, D, S]-layout segments (and base
+    casts) in place — the SplitKVCache physical layout, which tiles
+    head_dim 64 without lane padding (see ops/kv_cache.KVCache).
     """
-    B, Hkv, S0, D = base_k.shape
+    if s_minor:
+        B, Hkv, D, S0 = base_k.shape
+        C = tail_k.shape[-1]
+    else:
+        B, Hkv, S0, D = base_k.shape
+        C = tail_k.shape[2]
     H = q.shape[1]
-    C = tail_k.shape[2]
     wl, block = params.wl, params.block
     assert S0 % block == 0 and C % block == 0, (S0, C, block)
     mask_row = jnp.asarray(mask_row, jnp.float32).reshape(-1)[-(S0 + C):]
@@ -242,6 +275,15 @@ def basic_sdpa_decode_split(
     qg = qg.astype(jnp.bfloat16)
 
     def seg_scores(k_seg, precast):
+        if s_minor:
+            kc = precast if precast is not None else cast_k_rows_sm(
+                k_seg, wl
+            ).astype(jnp.bfloat16)
+            S_seg = k_seg.shape[-1]
+            return jnp.einsum(
+                "bgrd,bgds->bgrs", qg, kc,
+                preferred_element_type=jnp.float32,
+            )[:, :, :rep].reshape(B, H, 1, S_seg)
         kc = precast if precast is not None else cast_k_rows(k_seg, wl).astype(
             jnp.bfloat16
         )
@@ -271,10 +313,20 @@ def basic_sdpa_decode_split(
 
     def seg_out(w_seg, v_seg, precast):
         S_seg = w_seg.shape[-1]
+        wg, _, _ = _group_queries(w_seg.reshape(B, H, 1, S_seg), Hkv)
+        if s_minor:
+            vc = precast if precast is not None else cast_v_sblocks_sm(
+                v_seg, block, wl
+            ).astype(jnp.bfloat16)
+            return jnp.einsum(
+                "bgrs,bgds->bgrd",
+                wg.astype(jnp.bfloat16),
+                vc,
+                preferred_element_type=jnp.float32,
+            )[:, :, :rep].reshape(B, H, 1, D)
         vc = precast if precast is not None else cast_v_sblocks(
             v_seg, block, wl
         ).astype(jnp.bfloat16)
-        wg, _, _ = _group_queries(w_seg.reshape(B, H, 1, S_seg), Hkv)
         return jnp.einsum(
             "bgrs,bgsd->bgrd",
             wg.astype(jnp.bfloat16),

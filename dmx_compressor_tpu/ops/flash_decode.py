@@ -96,9 +96,10 @@ def cached_attend(
         )
     if quant and transparent:
         kv = cache.update_quantized(k, v)
+        S = kv.k_q.shape[-1] if kv.s_minor else kv.k_q.shape[-2]
         if (
             T == 1 and plain_causal and attn_mask is not None
-            and flash_decode_viable(kv.k_q.shape[-2])
+            and flash_decode_viable(S)
         ):
             return flash_decode_int8(
                 q, kv, post_update_lengths(cache), scale=scale_v
@@ -112,6 +113,12 @@ def cached_attend(
         transparent and cache is not None and T == 1 and plain_causal
         and attn_mask is not None and flash_decode_viable(k.shape[-2])
     ):
+        if getattr(cache, "s_minor", False) and not cache.quantized:
+            # read the cache buffers in their native (unpadded) layout
+            return flash_decode(
+                q, cache.k.value, cache.v.value,
+                post_update_lengths(cache), scale=scale_v, s_minor=True,
+            )
         return flash_decode(q, k, v, post_update_lengths(cache), scale=scale_v)
     if (
         not transparent and cache is not None and T == 1
@@ -166,12 +173,13 @@ def _split_cache_attend(
     if T == 1 and attn_mask is not None:
         p = basic_sdpa_shape(sdpa, q.shape[-1], cache.tail_len)
         if p is not None and cache.base_len % p.block == 0:
-            bk, bv, tk, tv = cache.append_tail(k, v)
+            bk, bv, tk, tv = cache.append_tail(k, v)  # raw s_minor segments
             precast = cache.base_cast_key == (p.wl, p.block)
             return basic_sdpa_decode_split(
                 q, bk, bv, tk, tv, attn_mask, scale=scale, params=p,
                 base_k_cast=cache.base_k_cast.value if precast else None,
                 base_v_cast=cache.base_v_cast.value if precast else None,
+                s_minor=True,
             )
     # modular fallback: concatenate segments (correct, slower)
     kf, vf, _ = cache.update(k, v)
@@ -272,29 +280,100 @@ def _decode_pallas(q, k, v, lengths, scale, block_k, rep, interpret=False):
     )(q, k, v, lengths)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_k", "rep", "interpret")
+)
+def _decode_pallas_T(q, kT, vT, lengths, scale, block_k, rep, interpret=False):
+    """s_minor variant: K/V arrive [B, Hkv, D, S] — the KV cache's physical
+    layout (ops/kv_cache.KVCache).  D on sublanes / S on lanes tiles with
+    ZERO padding for head_dim 64 (the D-minor layout pads 64 lanes to 128:
+    2x the HBM stream), and the contractions need no in-kernel transpose:
+    qk reads K^T directly, WV contracts the probabilities' lane dim with
+    V^T's lane dim."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, _, D = q.shape
+    S = kT.shape[-1]
+    nk = S // block_k
+
+    def kernel(q_ref, k_ref, v_ref, l_ref, o_ref):
+        qv = q_ref[0, 0].astype(jnp.float32) * scale  # [1, D]
+        le = l_ref[pl.program_id(0)]
+
+        def body(kt, carry):
+            m_prev, l_prev, acc = carry
+            sl = pl.ds(kt * block_k, block_k)
+            kv_ = k_ref[0, 0, :, sl].astype(jnp.float32)  # [D, BK]
+            vv = v_ref[0, 0, :, sl].astype(jnp.float32)  # [D, BK]
+            s = jax.lax.dot_general(
+                qv, kv_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, BK]
+            col = kt * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            s = jnp.where(col < le, s, NEG_INF)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, vv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, D]
+            return m_new, l_new, acc
+
+        m0 = jnp.full((1, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((1, 1), jnp.float32)
+        a0 = jnp.zeros((1, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, D, S), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1, D, S), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        interpret=interpret,
+    )(q, kT, vT, lengths)
+
+
 def flash_decode(
     q: Array,  # [B, H, 1, D]
-    k: Array,  # [B, Hkv, S, D] — the cache buffer, native layout
-    v: Array,  # [B, Hkv, S, D]
+    k: Array,  # [B, Hkv, S, D] — or [B, Hkv, D, S] with s_minor=True
+    v: Array,
     lengths,  # [B] per-row valid lengths (or a scalar), int32
     scale: Optional[float] = None,
     block_k: int = 128,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    s_minor: bool = False,
 ) -> Array:
     """softmax((q k^T)*scale masked to col < lengths[b]) v for one query
-    per row.  Returns [B, H, 1, D]."""
+    per row.  Returns [B, H, 1, D].  ``s_minor=True`` consumes the KV
+    cache's native [B, Hkv, D, S] layout with no transpose or padding."""
     B, H, T, D = q.shape
     assert T == 1, "flash_decode is the single-query decode kernel"
-    S = k.shape[-2]
+    S = k.shape[-1] if s_minor else k.shape[-2]
     scale = (D**-0.5) if scale is None else float(scale)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu" or interpret
     bk = min(block_k, S)
     if not use_pallas or S % bk != 0:
+        if s_minor:
+            k, v = k.swapaxes(-1, -2), v.swapaxes(-1, -2)
         return flash_decode_ref(q, k, v, lengths, scale)
     rep = H // k.shape[1]
-    return _decode_pallas(
+    fn = _decode_pallas_T if s_minor else _decode_pallas
+    return fn(
         q, k, v, _lengths_2d(lengths, B).reshape(B), scale, bk, rep,
         interpret=interpret,
     )
@@ -305,6 +384,8 @@ def flash_decode_int8_ref(q, kv, lengths, scale=None):
     D = q.shape[-1]
     scale = (D**-0.5) if scale is None else scale
     k_q, v_q, k_s, v_s = kv.k_q, kv.v_q, kv.k_scale, kv.v_scale
+    if kv.s_minor:
+        k_q, v_q = k_q.swapaxes(-1, -2), v_q.swapaxes(-1, -2)
     if k_q.shape[-3] != q.shape[-3]:
         rep = q.shape[-3] // k_q.shape[-3]
         k_q = jnp.repeat(k_q, rep, axis=-3)
@@ -391,6 +472,76 @@ def _decode_int8_pallas(
     )(q, k_q, v_q, k_s, v_s, lengths)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_k", "rep", "interpret")
+)
+def _decode_int8_pallas_T(
+    q, kT_q, vT_q, k_s, v_s, lengths, scale, block_k, rep, interpret=False
+):
+    """s_minor int8 variant: payloads arrive [B, Hkv, D, S] (the
+    QuantizedKVCache physical layout — int8 tiles are (32, 128), so the
+    D-minor form pads head_dim 64 to 128 lanes and doubles the stream).
+    Scales stay lanes-last [B, Hkv, 1, S]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, _, D = q.shape
+    S = kT_q.shape[-1]
+    nk = S // block_k
+
+    def kernel(q_ref, kq_ref, vq_ref, ks_ref, vs_ref, l_ref, o_ref):
+        qv = q_ref[0, 0].astype(jnp.float32)  # [1, D]
+        le = l_ref[pl.program_id(0)]
+
+        def body(kt, carry):
+            m_prev, l_prev, acc = carry
+            sl = pl.ds(kt * block_k, block_k)
+            kq = kq_ref[0, 0, :, sl].astype(jnp.float32)  # [D, BK]
+            vq = vq_ref[0, 0, :, sl].astype(jnp.float32)
+            ks = ks_ref[0, 0, :, sl]  # [1, BK]
+            vs = vs_ref[0, 0, :, sl]
+            s = jax.lax.dot_general(
+                qv, kq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (ks * scale)
+            col = kt * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            s = jnp.where(col < le, s, NEG_INF)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p * vs, vq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((1, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((1, 1), jnp.float32)
+        a0 = jnp.zeros((1, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, D, S), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1, D, S), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1, 1, S), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1, 1, S), lambda b, h: (b, h // rep, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        interpret=interpret,
+    )(q, kT_q, vT_q, k_s, v_s, lengths)
+
+
 def flash_decode_int8(
     q: Array,  # [B, H, 1, D]
     kv,  # ops.kv_cache.QuantKV (int8 payloads + per-position scales)
@@ -402,10 +553,11 @@ def flash_decode_int8(
 ) -> Array:
     """quantized_sdpa's math, blockwise: int8 K/V stream through VMEM and
     dequantize there — no fp32-sized KV convert is ever materialized in
-    HBM, at any context length (docs/ROADMAP.md §2)."""
+    HBM, at any context length (docs/ROADMAP.md §2).  ``kv.s_minor``
+    payloads ([B, Hkv, D, S]) are consumed in their native layout."""
     B, H, T, D = q.shape
     assert T == 1, "flash_decode_int8 is the single-query decode kernel"
-    S = kv.k_q.shape[-2]
+    S = kv.k_q.shape[-1] if kv.s_minor else kv.k_q.shape[-2]
     scale = (D**-0.5) if scale is None else float(scale)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu" or interpret
@@ -414,7 +566,8 @@ def flash_decode_int8(
         return flash_decode_int8_ref(q, kv, lengths, scale)
     rep = H // kv.k_q.shape[1]
     Hkv = kv.k_q.shape[1]
-    return _decode_int8_pallas(
+    fn = _decode_int8_pallas_T if kv.s_minor else _decode_int8_pallas
+    return fn(
         q, kv.k_q, kv.v_q,
         kv.k_scale.astype(jnp.float32).reshape(B, Hkv, 1, S),
         kv.v_scale.astype(jnp.float32).reshape(B, Hkv, 1, S),

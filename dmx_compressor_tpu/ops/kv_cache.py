@@ -25,12 +25,19 @@ Array = jax.Array
 
 
 class QuantKV(NamedTuple):
-    """Int8 KV payloads + per-(batch, head, position) scales."""
+    """Int8 KV payloads + per-(batch, head, position) scales.
 
-    k_q: Array  # [B, H, S, D] int8
-    v_q: Array  # [B, H, S, D] int8
+    ``s_minor=True`` marks payloads stored sequence-minor ([B, H, D, S]) —
+    the physical layout of :class:`QuantizedKVCache`, chosen because the
+    default D-minor layout tile-pads head_dim 64 to 128 lanes (2x HBM
+    capacity AND stream for every read/rewrite; see KVCache docstring).
+    """
+
+    k_q: Array  # [B, H, S, D] int8 ([B, H, D, S] when s_minor)
+    v_q: Array
     k_scale: Array  # [B, H, S] f32
     v_scale: Array  # [B, H, S] f32
+    s_minor: bool = False
 
 
 def quantized_sdpa(
@@ -57,45 +64,78 @@ def quantized_sdpa(
             jnp.repeat(kv.v_q, rep, axis=-3),
             jnp.repeat(kv.k_scale, rep, axis=-2),
             jnp.repeat(kv.v_scale, rep, axis=-2),
+            s_minor=kv.s_minor,
         )
     qf = q.astype(jnp.float32)
+    kq_sub = "...ds" if kv.s_minor else "...sd"
     logits = jnp.einsum(
-        "...ld,...sd->...ls", qf, kv.k_q.astype(jnp.float32)
+        f"...ld,{kq_sub}->...ls", qf, kv.k_q.astype(jnp.float32)
     ) * (kv.k_scale[..., None, :] * scale)
     if attn_mask is not None:
         logits = logits + attn_mask.astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "...ls,...sd->...ld",
+        f"...ls,{kq_sub}->...ld",
         w * kv.v_scale[..., None, :],
         kv.v_q.astype(jnp.float32),
     )
     return out.astype(out_dtype)
 
 
+def cache_seq_len(cache) -> int:
+    """Max sequence capacity of any cache class (mask construction must not
+    read buffer shapes: storage may be sequence-minor)."""
+    s = getattr(cache, "seq_len", None)
+    return s if s is not None else cache.k.value.shape[2]
+
+
 class KVCache(nnx.Module):
-    """Full-precision static cache; buffers [B, H, S_max, D]."""
+    """Full-precision static cache; buffers stored SEQUENCE-MINOR
+    ([B, H, D, S_max]).
+
+    Layout rationale: TPU arrays tile their two minor dims ((8, 128) lanes
+    for f32); a D-minor [.., S, 64] buffer pads head_dim 64 to 128 lanes —
+    physically 2x the HBM capacity, 2x the stream on every read, and 2x the
+    carried-buffer rewrite each decode step (measured: the padded copies
+    alone OOM the fp32 OPT-1.3B baseline at 2k context).  S-minor storage
+    tiles (64, S) with zero padding.  ``update`` still takes and returns
+    logical [B, H, S, D] tensors (the swap fuses into downstream einsums);
+    kernels that want the raw layout read ``.k.value`` directly
+    (ops/flash_decode.py s_minor paths).
+    """
 
     quantized = False
+    s_minor = True
 
     def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
                  dtype=jnp.float32):
-        self.k = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
-        self.v = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
+        self.max_len = max_len
+        self.head_dim = head_dim
+        self.k = nnx.Variable(jnp.zeros((batch, heads, head_dim, max_len), dtype))
+        self.v = nnx.Variable(jnp.zeros((batch, heads, head_dim, max_len), dtype))
         self.length = nnx.Variable(jnp.zeros((), jnp.int32))
+
+    @property
+    def seq_len(self) -> int:
+        return self.max_len
 
     def update(self, k_new: Array, v_new: Array):
         """Append [B,H,T,D] at the fill point; returns the full (dequantized)
-        buffers and the new length."""
+        buffers as logical [B,H,S,D] views and the new length."""
         pos = self.length.value
+        dt = self.k.value.dtype
         self.k.value = jax.lax.dynamic_update_slice(
-            self.k.value, k_new.astype(self.k.value.dtype), (0, 0, pos, 0)
+            self.k.value, k_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
         )
         self.v.value = jax.lax.dynamic_update_slice(
-            self.v.value, v_new.astype(self.v.value.dtype), (0, 0, pos, 0)
+            self.v.value, v_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
         )
         self.length.value = pos + k_new.shape[2]
-        return self.k.value, self.v.value, self.length.value
+        return (
+            self.k.value.swapaxes(-1, -2),
+            self.v.value.swapaxes(-1, -2),
+            self.length.value,
+        )
 
 
 class QuantizedKVCache(nnx.Module):
@@ -108,16 +148,23 @@ class QuantizedKVCache(nnx.Module):
     """
 
     quantized = True
+    s_minor = True  # payloads stored [B, H, D, S] (see KVCache docstring)
 
     def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
                  dtype=jnp.float32, bits: int = 8):
         assert bits == 8, "int8 cache payloads (other widths via BFP packing)"
         self.out_dtype = dtype
-        self.k_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
-        self.v_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
+        self.max_len = max_len
+        self.head_dim = head_dim
+        self.k_q = nnx.Variable(jnp.zeros((batch, heads, head_dim, max_len), jnp.int8))
+        self.v_q = nnx.Variable(jnp.zeros((batch, heads, head_dim, max_len), jnp.int8))
         self.k_scale = nnx.Variable(jnp.zeros((batch, heads, max_len), jnp.float32))
         self.v_scale = nnx.Variable(jnp.zeros((batch, heads, max_len), jnp.float32))
         self.length = nnx.Variable(jnp.zeros((), jnp.int32))
+
+    @property
+    def seq_len(self) -> int:
+        return self.max_len
 
     @staticmethod
     def _quantize(x: Array) -> Tuple[Array, Array]:
@@ -129,22 +176,25 @@ class QuantizedKVCache(nnx.Module):
     def update(self, k_new: Array, v_new: Array):
         self.update_payload(k_new, v_new)
         k = (
-            self.k_q.value.astype(jnp.float32) * self.k_scale.value[..., None]
-        ).astype(self.out_dtype)
+            self.k_q.value.astype(jnp.float32)
+            * self.k_scale.value[..., None, :]
+        ).swapaxes(-1, -2).astype(self.out_dtype)
         v = (
-            self.v_q.value.astype(jnp.float32) * self.v_scale.value[..., None]
-        ).astype(self.out_dtype)
+            self.v_q.value.astype(jnp.float32)
+            * self.v_scale.value[..., None, :]
+        ).swapaxes(-1, -2).astype(self.out_dtype)
         return k, v, self.length.value
 
     def update_quantized(self, k_new: Array, v_new: Array) -> QuantKV:
-        """Append and return the int8 payloads + scales (no dequantization);
-        consume with :func:`quantized_sdpa`."""
+        """Append and return the int8 payloads + scales (no dequantization,
+        native s_minor layout); consume with :func:`quantized_sdpa`."""
         self.update_payload(k_new, v_new)
         return QuantKV(
             self.k_q.value,
             self.v_q.value,
             self.k_scale.value,
             self.v_scale.value,
+            s_minor=True,
         )
 
     def update_payload(self, k_new: Array, v_new: Array) -> None:
@@ -152,10 +202,10 @@ class QuantizedKVCache(nnx.Module):
         kq, ks = self._quantize(k_new.astype(jnp.float32))
         vq, vs = self._quantize(v_new.astype(jnp.float32))
         self.k_q.value = jax.lax.dynamic_update_slice(
-            self.k_q.value, kq, (0, 0, pos, 0)
+            self.k_q.value, kq.swapaxes(-1, -2), (0, 0, 0, pos)
         )
         self.v_q.value = jax.lax.dynamic_update_slice(
-            self.v_q.value, vq, (0, 0, pos, 0)
+            self.v_q.value, vq.swapaxes(-1, -2), (0, 0, 0, pos)
         )
         self.k_scale.value = jax.lax.dynamic_update_slice(
             self.k_scale.value, ks, (0, 0, pos)
@@ -166,7 +216,7 @@ class QuantizedKVCache(nnx.Module):
         self.length.value = pos + k_new.shape[2]
 
     @property
-    def k(self):  # buffer-shape compat (mask construction reads .k.value.shape)
+    def k(self):  # raw-buffer alias (shape readers must use .seq_len)
         return self.k_q
 
     @property
@@ -190,33 +240,43 @@ class SplitKVCache(nnx.Module):
     size (64) so sequence-blocked casts never straddle the segment boundary
     — attention consumes the segments separately (models/opt.py attend).
     Decode beyond the tail requires ``merge_tail()`` between windows.
+
+    Buffers (and the precomputed base casts) are stored SEQUENCE-MINOR
+    ([B, H, D, S]) like :class:`KVCache` — the base-cast read is the
+    dominant per-step decode stream in BASIC mode, and the D-minor layout
+    pads head_dim 64 to 128 lanes (2x the bytes).  ``append_tail`` returns
+    the RAW s_minor segments; consume with
+    ``basic_sdpa_decode_split(..., s_minor=True)``.
     """
 
     quantized = False
     split = True
+    s_minor = True
 
     def __init__(self, batch: int, heads: int, base_len: int, tail_len: int,
                  head_dim: int, dtype=jnp.float32):
         self.base_len = base_len
         self.tail_len = tail_len
-        self.base_k = nnx.Variable(jnp.zeros((batch, heads, base_len, head_dim), dtype))
-        self.base_v = nnx.Variable(jnp.zeros((batch, heads, base_len, head_dim), dtype))
-        self.tail_k = nnx.Variable(jnp.zeros((batch, heads, tail_len, head_dim), dtype))
-        self.tail_v = nnx.Variable(jnp.zeros((batch, heads, tail_len, head_dim), dtype))
+        self.head_dim = head_dim
+        self.base_k = nnx.Variable(jnp.zeros((batch, heads, head_dim, base_len), dtype))
+        self.base_v = nnx.Variable(jnp.zeros((batch, heads, head_dim, base_len), dtype))
+        self.tail_k = nnx.Variable(jnp.zeros((batch, heads, head_dim, tail_len), dtype))
+        self.tail_v = nnx.Variable(jnp.zeros((batch, heads, head_dim, tail_len), dtype))
         self.length = nnx.Variable(jnp.zeros((), jnp.int32))
         # optional precomputed fake-quant casts of the (final) base segment:
         # invariant during decode, so recomputing them every step wastes
         # ~700us/step on OPT-125m; bf16 holds the <=8-mantissa-bit cast
         # values exactly.  Keyed by the cast params that produced them.
         self.base_k_cast = nnx.Variable(
-            jnp.zeros((batch, heads, base_len, head_dim), jnp.bfloat16)
+            jnp.zeros((batch, heads, head_dim, base_len), jnp.bfloat16)
         )
         self.base_v_cast = nnx.Variable(
-            jnp.zeros((batch, heads, base_len, head_dim), jnp.bfloat16)
+            jnp.zeros((batch, heads, head_dim, base_len), jnp.bfloat16)
         )
         self.base_cast_key = None  # static; set by set_base_cast
 
     def set_base_cast(self, k_cast, v_cast, key) -> None:
+        """Install precomputed base casts (s_minor [B, H, D, S] layout)."""
         self.base_k_cast.value = k_cast.astype(jnp.bfloat16)
         self.base_v_cast.value = v_cast.astype(jnp.bfloat16)
         self.base_cast_key = key
@@ -230,37 +290,42 @@ class SplitKVCache(nnx.Module):
         pos = self.length.value
         dt = self.base_k.value.dtype
         self.base_k.value = jax.lax.dynamic_update_slice(
-            self.base_k.value, k_new.astype(dt), (0, 0, pos, 0)
+            self.base_k.value, k_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
         )
         self.base_v.value = jax.lax.dynamic_update_slice(
-            self.base_v.value, v_new.astype(dt), (0, 0, pos, 0)
+            self.base_v.value, v_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
         )
         self.length.value = pos + k_new.shape[2]
 
     def append_tail(self, k_new: Array, v_new: Array):
-        """Decode: append [B,H,1,D] into the tail; returns the four segment
-        buffers (base read-only)."""
+        """Decode: append [B,H,1,D] into the tail; returns the four RAW
+        s_minor segment buffers (base read-only)."""
         pos = self.length.value - self.base_len
         dt = self.tail_k.value.dtype
         self.tail_k.value = jax.lax.dynamic_update_slice(
-            self.tail_k.value, k_new.astype(dt), (0, 0, pos, 0)
+            self.tail_k.value, k_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
         )
         self.tail_v.value = jax.lax.dynamic_update_slice(
-            self.tail_v.value, v_new.astype(dt), (0, 0, pos, 0)
+            self.tail_v.value, v_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
         )
         self.length.value = self.length.value + k_new.shape[2]
         return (self.base_k.value, self.base_v.value,
                 self.tail_k.value, self.tail_v.value)
 
     def update(self, k_new: Array, v_new: Array):
-        """KVCache-compatible: returns concatenated full buffers (slow path —
-        the fused attention consumes the segments without concatenating)."""
+        """KVCache-compatible: returns concatenated full buffers as logical
+        [B,H,S,D] views (slow path — the fused attention consumes the raw
+        segments without concatenating)."""
         if k_new.shape[2] > 1:
             self.write_base(k_new, v_new)
         else:
             self.append_tail(k_new, v_new)
-        k = jnp.concatenate([self.base_k.value, self.tail_k.value], axis=2)
-        v = jnp.concatenate([self.base_v.value, self.tail_v.value], axis=2)
+        k = jnp.concatenate(
+            [self.base_k.value, self.tail_k.value], axis=-1
+        ).swapaxes(-1, -2)
+        v = jnp.concatenate(
+            [self.base_v.value, self.tail_v.value], axis=-1
+        ).swapaxes(-1, -2)
         return k, v, self.length.value
 
     def merge_tail(self) -> None:
@@ -290,9 +355,14 @@ class RowKVCache(nnx.Module):
 
     def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
                  dtype=jnp.float32):
+        self.max_len = max_len
         self.k = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
         self.v = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
         self.lengths = nnx.Variable(jnp.zeros((batch,), jnp.int32))
+
+    @property
+    def seq_len(self) -> int:
+        return self.max_len
 
     @property
     def length(self):
@@ -342,6 +412,7 @@ class RowQuantizedKVCache(nnx.Module):
     def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
                  dtype=jnp.float32):
         self.out_dtype = dtype
+        self.max_len = max_len
         self.k_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
         self.v_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
         self.k_scale = nnx.Variable(jnp.zeros((batch, heads, max_len), jnp.float32))
@@ -363,6 +434,10 @@ class RowQuantizedKVCache(nnx.Module):
         self.k_scale.value = w2(self.k_scale.value, ks, pos)
         self.v_scale.value = w2(self.v_scale.value, vs, pos)
         self.lengths.value = pos + k_new.shape[2]
+
+    @property
+    def seq_len(self) -> int:
+        return self.max_len
 
     def update_quantized(self, k_new: Array, v_new: Array) -> QuantKV:
         self.update_payload(k_new, v_new)

@@ -61,7 +61,11 @@ def prepare_split_decode(model, caches) -> None:
     nnx static attributes set inside a traced function do not survive the
     trace).  No-op for non-split caches, non-BASIC configs, or unknown
     model layouts."""
-    from .basic_attention import basic_sdpa_shape, cast_k_rows, cast_v_sblocks
+    from .basic_attention import (
+        basic_sdpa_shape,
+        cast_k_rows_sm,
+        cast_v_sblocks_sm,
+    )
 
     layers = decoder_layers(model)
     for layer, cache in zip(layers, caches):
@@ -72,7 +76,7 @@ def prepare_split_decode(model, caches) -> None:
         if p is None or cache.base_len % p.block != 0:
             continue
         cache.set_base_cast(
-            cast_k_rows(cache.base_k.value, p.wl),
-            cast_v_sblocks(cache.base_v.value, p.block, p.wl),
+            cast_k_rows_sm(cache.base_k.value, p.wl),
+            cast_v_sblocks_sm(cache.base_v.value, p.block, p.wl),
             key=(p.wl, p.block),
         )

@@ -42,6 +42,15 @@ import numpy as np
 from flax import nnx
 
 
+def _seq_major(row, cache):
+    """Single-request cache row as [H, T, D]: the batch-1 prefill caches
+    store sequence-minor ([H, D, T], ops/kv_cache.KVCache) while the row
+    caches the engine scatters into are sequence-major."""
+    import jax.numpy as _jnp
+
+    return row.swapaxes(-1, -2) if getattr(cache, "s_minor", False) else row
+
+
 def _pick(logits, key, temps, top_k):
     """Per-row token choice: greedy where temps == 0, otherwise
     temperature softmax sampling truncated to top_k (Pipeline.generate's
@@ -201,15 +210,16 @@ class ContinuousBatchingEngine:
                 nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
             if quantized:
                 rows = (
-                    jnp.stack([c.k_q.value[0] for c in caches]),
-                    jnp.stack([c.v_q.value[0] for c in caches]),
+                    jnp.stack([_seq_major(c.k_q.value[0], c) for c in caches]),
+                    jnp.stack([_seq_major(c.v_q.value[0], c) for c in caches]),
                     jnp.stack([c.k_scale.value[0] for c in caches]),
                     jnp.stack([c.v_scale.value[0] for c in caches]),
                 )
             else:
                 rows = (
-                    jnp.stack([c.k.value[0] for c in caches]),  # [L,H,bucket,D]
-                    jnp.stack([c.v.value[0] for c in caches]),
+                    # [L,H,bucket,D] (s_minor prefill buffers transposed)
+                    jnp.stack([_seq_major(c.k.value[0], c) for c in caches]),
+                    jnp.stack([_seq_major(c.v.value[0], c) for c in caches]),
                 )
             return rows, nxt
 
@@ -268,15 +278,15 @@ class ContinuousBatchingEngine:
                 nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
             if quantized:
                 rows = (
-                    jnp.stack([c.k_q.value[0] for c in caches]),
-                    jnp.stack([c.v_q.value[0] for c in caches]),
+                    jnp.stack([_seq_major(c.k_q.value[0], c) for c in caches]),
+                    jnp.stack([_seq_major(c.v_q.value[0], c) for c in caches]),
                     jnp.stack([c.k_scale.value[0] for c in caches]),
                     jnp.stack([c.v_scale.value[0] for c in caches]),
                 )
             else:
                 rows = (
-                    jnp.stack([c.k.value[0] for c in caches]),
-                    jnp.stack([c.v.value[0] for c in caches]),
+                    jnp.stack([_seq_major(c.k.value[0], c) for c in caches]),
+                    jnp.stack([_seq_major(c.v.value[0], c) for c in caches]),
                 )
             return rows, nxt
 
@@ -588,15 +598,15 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                 nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
             if quantized:
                 rows = (
-                    jnp.stack([c.k_q.value[0] for c in caches]),
-                    jnp.stack([c.v_q.value[0] for c in caches]),
+                    jnp.stack([_seq_major(c.k_q.value[0], c) for c in caches]),
+                    jnp.stack([_seq_major(c.v_q.value[0], c) for c in caches]),
                     jnp.stack([c.k_scale.value[0] for c in caches]),
                     jnp.stack([c.v_scale.value[0] for c in caches]),
                 )
             else:
                 rows = (
-                    jnp.stack([c.k.value[0] for c in caches]),
-                    jnp.stack([c.v.value[0] for c in caches]),
+                    jnp.stack([_seq_major(c.k.value[0], c) for c in caches]),
+                    jnp.stack([_seq_major(c.v.value[0], c) for c in caches]),
                 )
             return enc[0], rows, nxt
 

@@ -46,6 +46,7 @@ def main():
     n_requests = arg("--requests", 32)
     prompt_len = arg("--prompt", 96)
     gen_len = arg("--gen", 64)
+    chunk = arg("--chunk", 0) or None  # chunked-prefill admission
 
     cfg = {"opt-125m": OPTConfig.opt_125m, "opt-350m": OPTConfig.opt_350m,
            "opt-1.3b": OPTConfig.opt_1_3b}[name]()
@@ -73,6 +74,7 @@ def main():
     eng = ContinuousBatchingEngine(
         model, max_slots=slots, max_len=prompt_len + gen_len + burst,
         prompt_buckets=(prompt_len,), quantized_kv=quantized_kv,
+        prefill_chunk=chunk,
     )
     prompts = [
         rng.integers(1, cfg.vocab_size, (prompt_len,)).astype(np.int32)
@@ -91,21 +93,34 @@ def main():
         )
 
     base = emitted()
+    step_times = []  # per-engine-step wall time (p99 = admission-latency
+    # bound: a waiting request is admitted within one step)
+    busy_slot_steps = 0
+    total_slot_steps = 0
     t0 = time.perf_counter()
     while eng.queue or any(s.active for s in eng.slots) or pending:
+        ts = time.perf_counter()
         done = eng.step(burst)
+        step_times.append(time.perf_counter() - ts)
+        busy_slot_steps += sum(1 for s in eng.slots if s.active)
+        total_slot_steps += slots
         for _ in done:
             if pending:  # closed loop: keep the slots busy
                 eng.submit(pending.pop(), max_new_tokens=gen_len)
     dt = time.perf_counter() - t0
     total_gen = emitted() - base
+    st = np.sort(np.asarray(step_times))
     print(json.dumps({
         "metric": f"{name}_{mode}_serving_tokens_per_sec",
         "value": round(total_gen / dt, 2),
         "unit": "tokens/s",
         "slots": slots,
         "burst": burst,
+        "prefill_chunk": chunk,
         "requests": len(eng.finished),
+        "slot_utilization": round(busy_slot_steps / max(total_slot_steps, 1), 3),
+        "p50_step_ms": round(float(st[len(st) // 2]) * 1e3, 2),
+        "p99_step_ms": round(float(st[min(int(len(st) * 0.99), len(st) - 1)]) * 1e3, 2),
         "wall_s": round(dt, 3),
     }))
 
