@@ -352,12 +352,14 @@ class RowKVCache(nnx.Module):
 
     quantized = False
     row = True
+    s_minor = True  # buffers [B, H, D, S] (see KVCache docstring)
 
     def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
                  dtype=jnp.float32):
         self.max_len = max_len
-        self.k = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
-        self.v = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), dtype))
+        self.head_dim = head_dim
+        self.k = nnx.Variable(jnp.zeros((batch, heads, head_dim, max_len), dtype))
+        self.v = nnx.Variable(jnp.zeros((batch, heads, head_dim, max_len), dtype))
         self.lengths = nnx.Variable(jnp.zeros((batch,), jnp.int32))
 
     @property
@@ -373,23 +375,33 @@ class RowKVCache(nnx.Module):
     def update(self, k_new: Array, v_new: Array):
         """Append [B,H,T,D] at each row's own fill point; rows past
         ``max_len`` clamp to the final window (their outputs are masked by
-        construction)."""
+        construction).  Returns logical [B,H,S,D] views."""
         pos = self.lengths.value  # [B]
         write = jax.vmap(
-            lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
+            lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (0, 0, p))
         )
-        self.k.value = write(self.k.value, k_new.astype(self.k.value.dtype), pos)
-        self.v.value = write(self.v.value, v_new.astype(self.v.value.dtype), pos)
+        dt = self.k.value.dtype
+        self.k.value = write(
+            self.k.value, k_new.astype(dt).swapaxes(-1, -2), pos
+        )
+        self.v.value = write(
+            self.v.value, v_new.astype(dt).swapaxes(-1, -2), pos
+        )
         self.lengths.value = pos + k_new.shape[2]
-        return self.k.value, self.v.value, self.lengths.value
+        return (
+            self.k.value.swapaxes(-1, -2),
+            self.v.value.swapaxes(-1, -2),
+            self.lengths.value,
+        )
 
     def write_row(self, b, k_row: Array, v_row: Array,
                   length: Optional[int] = None) -> None:
-        """Install a prefilled row: ``k_row``/``v_row`` are [H, T, D] from a
-        single-request prefill cache.  ``length`` resets the row's fill
-        point (defaults to T); bucket-padded garbage beyond it is masked by
-        construction and overwritten by subsequent appends."""
-        T = k_row.shape[1]
+        """Install a prefilled row: ``k_row``/``v_row`` are s_minor [H, D, T]
+        slices of a single-request prefill cache (same layout family).
+        ``length`` resets the row's fill point (defaults to T);
+        bucket-padded garbage beyond it is masked by construction and
+        overwritten by subsequent appends."""
+        T = k_row.shape[-1]
         self.k.value = jax.lax.dynamic_update_slice(
             self.k.value, k_row[None].astype(self.k.value.dtype), (b, 0, 0, 0)
         )
@@ -408,13 +420,15 @@ class RowQuantizedKVCache(nnx.Module):
 
     quantized = True
     row = True
+    s_minor = True  # payloads [B, H, D, S] (see KVCache docstring)
 
     def __init__(self, batch: int, heads: int, max_len: int, head_dim: int,
                  dtype=jnp.float32):
         self.out_dtype = dtype
         self.max_len = max_len
-        self.k_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
-        self.v_q = nnx.Variable(jnp.zeros((batch, heads, max_len, head_dim), jnp.int8))
+        self.head_dim = head_dim
+        self.k_q = nnx.Variable(jnp.zeros((batch, heads, head_dim, max_len), jnp.int8))
+        self.v_q = nnx.Variable(jnp.zeros((batch, heads, head_dim, max_len), jnp.int8))
         self.k_scale = nnx.Variable(jnp.zeros((batch, heads, max_len), jnp.float32))
         self.v_scale = nnx.Variable(jnp.zeros((batch, heads, max_len), jnp.float32))
         self.lengths = nnx.Variable(jnp.zeros((batch,), jnp.int32))
@@ -424,13 +438,13 @@ class RowQuantizedKVCache(nnx.Module):
         kq, ks = QuantizedKVCache._quantize(k_new.astype(jnp.float32))
         vq, vs = QuantizedKVCache._quantize(v_new.astype(jnp.float32))
         w3 = jax.vmap(
-            lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
+            lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (0, 0, p))
         )
         w2 = jax.vmap(
             lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (0, p))
         )
-        self.k_q.value = w3(self.k_q.value, kq, pos)
-        self.v_q.value = w3(self.v_q.value, vq, pos)
+        self.k_q.value = w3(self.k_q.value, kq.swapaxes(-1, -2), pos)
+        self.v_q.value = w3(self.v_q.value, vq.swapaxes(-1, -2), pos)
         self.k_scale.value = w2(self.k_scale.value, ks, pos)
         self.v_scale.value = w2(self.v_scale.value, vs, pos)
         self.lengths.value = pos + k_new.shape[2]
@@ -444,24 +458,27 @@ class RowQuantizedKVCache(nnx.Module):
         return QuantKV(
             self.k_q.value, self.v_q.value,
             self.k_scale.value, self.v_scale.value,
+            s_minor=True,
         )
 
     def update(self, k_new: Array, v_new: Array):
         self.update_payload(k_new, v_new)
         k = (
-            self.k_q.value.astype(jnp.float32) * self.k_scale.value[..., None]
-        ).astype(self.out_dtype)
+            self.k_q.value.astype(jnp.float32)
+            * self.k_scale.value[..., None, :]
+        ).swapaxes(-1, -2).astype(self.out_dtype)
         v = (
-            self.v_q.value.astype(jnp.float32) * self.v_scale.value[..., None]
-        ).astype(self.out_dtype)
+            self.v_q.value.astype(jnp.float32)
+            * self.v_scale.value[..., None, :]
+        ).swapaxes(-1, -2).astype(self.out_dtype)
         return k, v, self.lengths.value
 
     def write_row(self, b, k_q_row: Array, v_q_row: Array,
                   k_scale_row: Array, v_scale_row: Array,
                   length: Optional[int] = None) -> None:
-        """Install a prefilled row's int8 payloads + scales ([H, T, D] /
-        [H, T], from a batch-1 QuantizedKVCache prefill)."""
-        T = k_q_row.shape[1]
+        """Install a prefilled row's int8 payloads + scales (s_minor
+        [H, D, T] / [H, T], from a batch-1 QuantizedKVCache prefill)."""
+        T = k_q_row.shape[-1]
         self.k_q.value = jax.lax.dynamic_update_slice(
             self.k_q.value, k_q_row[None], (b, 0, 0, 0)
         )
@@ -479,7 +496,7 @@ class RowQuantizedKVCache(nnx.Module):
         )
 
     @property
-    def k(self):  # buffer-shape compat (mask construction reads .k.value.shape)
+    def k(self):  # raw-buffer alias (shape readers must use .seq_len)
         return self.k_q
 
     @property

@@ -42,13 +42,11 @@ import numpy as np
 from flax import nnx
 
 
-def _seq_major(row, cache):
-    """Single-request cache row as [H, T, D]: the batch-1 prefill caches
-    store sequence-minor ([H, D, T], ops/kv_cache.KVCache) while the row
-    caches the engine scatters into are sequence-major."""
-    import jax.numpy as _jnp
-
-    return row.swapaxes(-1, -2) if getattr(cache, "s_minor", False) else row
+def _slot_layout(row, cache):
+    """Single-request cache row in the slot caches' s_minor [H, D, T]
+    layout (ops/kv_cache.KVCache): the batch-1 prefill caches share that
+    layout, so this is the identity unless a cache class diverges."""
+    return row if getattr(cache, "s_minor", False) else row.swapaxes(-1, -2)
 
 
 def _pick(logits, key, temps, top_k):
@@ -210,16 +208,16 @@ class ContinuousBatchingEngine:
                 nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
             if quantized:
                 rows = (
-                    jnp.stack([_seq_major(c.k_q.value[0], c) for c in caches]),
-                    jnp.stack([_seq_major(c.v_q.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.k_q.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.v_q.value[0], c) for c in caches]),
                     jnp.stack([c.k_scale.value[0] for c in caches]),
                     jnp.stack([c.v_scale.value[0] for c in caches]),
                 )
             else:
                 rows = (
-                    # [L,H,bucket,D] (s_minor prefill buffers transposed)
-                    jnp.stack([_seq_major(c.k.value[0], c) for c in caches]),
-                    jnp.stack([_seq_major(c.v.value[0], c) for c in caches]),
+                    # [L, H, D, bucket] — s_minor rows, scattered as-is
+                    jnp.stack([_slot_layout(c.k.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.v.value[0], c) for c in caches]),
                 )
             return rows, nxt
 
@@ -278,15 +276,15 @@ class ContinuousBatchingEngine:
                 nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
             if quantized:
                 rows = (
-                    jnp.stack([_seq_major(c.k_q.value[0], c) for c in caches]),
-                    jnp.stack([_seq_major(c.v_q.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.k_q.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.v_q.value[0], c) for c in caches]),
                     jnp.stack([c.k_scale.value[0] for c in caches]),
                     jnp.stack([c.v_scale.value[0] for c in caches]),
                 )
             else:
                 rows = (
-                    jnp.stack([_seq_major(c.k.value[0], c) for c in caches]),
-                    jnp.stack([_seq_major(c.v.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.k.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.v.value[0], c) for c in caches]),
                 )
             return rows, nxt
 
@@ -598,15 +596,15 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                 nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
             if quantized:
                 rows = (
-                    jnp.stack([_seq_major(c.k_q.value[0], c) for c in caches]),
-                    jnp.stack([_seq_major(c.v_q.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.k_q.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.v_q.value[0], c) for c in caches]),
                     jnp.stack([c.k_scale.value[0] for c in caches]),
                     jnp.stack([c.v_scale.value[0] for c in caches]),
                 )
             else:
                 rows = (
-                    jnp.stack([_seq_major(c.k.value[0], c) for c in caches]),
-                    jnp.stack([_seq_major(c.v.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.k.value[0], c) for c in caches]),
+                    jnp.stack([_slot_layout(c.v.value[0], c) for c in caches]),
                 )
             return enc[0], rows, nxt
 
