@@ -90,8 +90,10 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
         )
         compress_for_inference(dm)
         set_inference_mode(True)
-        caches = model.init_cache(batch, prompt_len + gen_len - 1,
-                                  quantized=quantized_kv)
+        caches = model.init_cache(
+            batch, -(-(prompt_len + gen_len - 1) // 128) * 128,
+            quantized=quantized_kv,
+        )
     elif mode in ("basic", "weights"):
         dm.to_basic_mode()
         from dmx_compressor_tpu.functional.approximate import NoApproximation
@@ -110,14 +112,21 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
         compress_for_inference(dm)
         set_inference_mode(True)  # surrogate-only approximations (same values)
         # prompt_len + gen_len - 1 slots are written (prefill + gen_len-1
-        # decode steps); keeping the cache length 64-aligned lets the fused
-        # BASIC attention kernels engage (S % block == 0).
+        # decode steps).  Capacity rounds up to a 128 multiple so the
+        # flash-decode kernels engage (S % 128 == 0 lane tiling) —
+        # production capacity bucketing; unfilled slots are masked by the
+        # per-row lengths.  Basic mode keeps the exact 64-aligned split
+        # (base = prompt, tail covers the decode window) for the fused
+        # BASIC attention kernels.
         # float16 storage is BIT-EXACT in BASIC mode: every cached k/v is a
         # FLOAT16-output-cast projection, already on the fp16 grid — and the
         # loop-carried cache is copied every scan step on this platform, so
         # halving its bytes directly buys decode throughput.
+        cap = prompt_len + gen_len - 1
+        if mode == "weights":
+            cap = -(-cap // 128) * 128
         caches = model.init_cache(
-            batch, prompt_len + gen_len - 1, quantized=quantized_kv,
+            batch, cap, quantized=quantized_kv,
             dtype=jnp.float32 if mode == "weights" else jnp.float16,
             # basic mode: prefill/decode split cache — the invariant prefill
             # segment is never carried-mutated in the decode scan
@@ -125,8 +134,10 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
         )
     else:
         dm.to_baseline_mode()
-        caches = model.init_cache(batch, prompt_len + gen_len - 1,
-                                  quantized=quantized_kv)
+        caches = model.init_cache(
+            batch, -(-(prompt_len + gen_len - 1) // 128) * 128,
+            quantized=quantized_kv,
+        )
     graphdef, state = nnx.split((model, caches))
 
     def greedy(logits_row):
@@ -307,8 +318,12 @@ def main():
     lens = {"prompt_len": 1984, "gen_len": 65} if long_ctx else {}
     # 1.3B at 2k: the fp32 BASELINE leg's live state (5.2G weights + fp32
     # caches + scan temps) exceeds the 15.75G HBM at batch 8; both legs run
-    # at batch 4 so the ratio stays apples-to-apples (batch is in the JSON)
+    # at batch 4 so the ratio stays apples-to-apples (batch is in the JSON).
+    # "batch=N" on the command line overrides (the HBM-utilization sweep).
     batch = 4 if (long_ctx and "1.3b" in name) else 8
+    for a in sys.argv[3:]:
+        if a.startswith("batch="):
+            batch = int(a.split("=")[1])
     rates, step_bytes = run(mode, cfg, batch=batch, quantized_kv=qkv,
                             name=name, **lens)
     base_rates, _ = run("baseline", cfg, batch=batch, name=name, **lens)

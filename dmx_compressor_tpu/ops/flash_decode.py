@@ -179,7 +179,7 @@ def _split_cache_attend(
                 q, bk, bv, tk, tv, attn_mask, scale=scale, params=p,
                 base_k_cast=cache.base_k_cast.value if precast else None,
                 base_v_cast=cache.base_v_cast.value if precast else None,
-                s_minor=True,
+                s_minor=cache.s_minor,
             )
     # modular fallback: concatenate segments (correct, slower)
     kf, vf, _ = cache.update(k, v)

@@ -241,38 +241,51 @@ class SplitKVCache(nnx.Module):
     — attention consumes the segments separately (models/opt.py attend).
     Decode beyond the tail requires ``merge_tail()`` between windows.
 
-    Buffers (and the precomputed base casts) are stored SEQUENCE-MINOR
-    ([B, H, D, S]) like :class:`KVCache` — the base-cast read is the
-    dominant per-step decode stream in BASIC mode, and the D-minor layout
-    pads head_dim 64 to 128 lanes (2x the bytes).  ``append_tail`` returns
-    the RAW s_minor segments; consume with
-    ``basic_sdpa_decode_split(..., s_minor=True)``.
+    Layout: LOGICAL [B, H, S, D] (D-minor), unlike :class:`KVCache`.  The
+    split path is pure jnp, so XLA's layout assignment already gives these
+    buffers a sequence-minor physical layout where the dots want it —
+    forcing the logical s_minor form measured 33% SLOWER end-to-end at
+    OPT-1.3B BASIC decode (829 vs 1234 tok/s, r3 A/B on hardware), likely
+    from worse dot lowerings against the reordered logical dims.  Explicit
+    s_minor storage stays reserved for buffers feeding Pallas kernels
+    (which pin default layouts).  DMX_SPLIT_SMINOR=1 re-enables the
+    s_minor form for future layout investigations.
     """
 
     quantized = False
     split = True
-    s_minor = True
+    s_minor = False
 
     def __init__(self, batch: int, heads: int, base_len: int, tail_len: int,
                  head_dim: int, dtype=jnp.float32):
+        import os
+
+        if os.environ.get("DMX_SPLIT_SMINOR"):  # layout A/B escape hatch
+            self.s_minor = True
         self.base_len = base_len
         self.tail_len = tail_len
         self.head_dim = head_dim
-        self.base_k = nnx.Variable(jnp.zeros((batch, heads, head_dim, base_len), dtype))
-        self.base_v = nnx.Variable(jnp.zeros((batch, heads, head_dim, base_len), dtype))
-        self.tail_k = nnx.Variable(jnp.zeros((batch, heads, head_dim, tail_len), dtype))
-        self.tail_v = nnx.Variable(jnp.zeros((batch, heads, head_dim, tail_len), dtype))
+        shp = (
+            (batch, heads, base_len, head_dim)
+            if not self.s_minor
+            else (batch, heads, head_dim, base_len)
+        )
+        tshp = (
+            (batch, heads, tail_len, head_dim)
+            if not self.s_minor
+            else (batch, heads, head_dim, tail_len)
+        )
+        self.base_k = nnx.Variable(jnp.zeros(shp, dtype))
+        self.base_v = nnx.Variable(jnp.zeros(shp, dtype))
+        self.tail_k = nnx.Variable(jnp.zeros(tshp, dtype))
+        self.tail_v = nnx.Variable(jnp.zeros(tshp, dtype))
         self.length = nnx.Variable(jnp.zeros((), jnp.int32))
         # optional precomputed fake-quant casts of the (final) base segment:
         # invariant during decode, so recomputing them every step wastes
         # ~700us/step on OPT-125m; bf16 holds the <=8-mantissa-bit cast
         # values exactly.  Keyed by the cast params that produced them.
-        self.base_k_cast = nnx.Variable(
-            jnp.zeros((batch, heads, head_dim, base_len), jnp.bfloat16)
-        )
-        self.base_v_cast = nnx.Variable(
-            jnp.zeros((batch, heads, head_dim, base_len), jnp.bfloat16)
-        )
+        self.base_k_cast = nnx.Variable(jnp.zeros(shp, jnp.bfloat16))
+        self.base_v_cast = nnx.Variable(jnp.zeros(shp, jnp.bfloat16))
         self.base_cast_key = None  # static; set by set_base_cast
 
     def set_base_cast(self, k_cast, v_cast, key) -> None:
@@ -285,28 +298,34 @@ class SplitKVCache(nnx.Module):
     def seq_len(self) -> int:
         return self.base_len + self.tail_len
 
+    def _store(self, x: Array, dt) -> Array:
+        return x.astype(dt).swapaxes(-1, -2) if self.s_minor else x.astype(dt)
+
     def write_base(self, k_new: Array, v_new: Array) -> None:
         """Prefill: write [B,H,T,D] at the fill point of the base segment."""
         pos = self.length.value
         dt = self.base_k.value.dtype
+        idx = (0, 0, 0, pos) if self.s_minor else (0, 0, pos, 0)
         self.base_k.value = jax.lax.dynamic_update_slice(
-            self.base_k.value, k_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
+            self.base_k.value, self._store(k_new, dt), idx
         )
         self.base_v.value = jax.lax.dynamic_update_slice(
-            self.base_v.value, v_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
+            self.base_v.value, self._store(v_new, dt), idx
         )
         self.length.value = pos + k_new.shape[2]
 
     def append_tail(self, k_new: Array, v_new: Array):
         """Decode: append [B,H,1,D] into the tail; returns the four RAW
-        s_minor segment buffers (base read-only)."""
+        segment buffers (base read-only; s_minor layout unless the A/B
+        escape hatch flipped it)."""
         pos = self.length.value - self.base_len
         dt = self.tail_k.value.dtype
+        idx = (0, 0, 0, pos) if self.s_minor else (0, 0, pos, 0)
         self.tail_k.value = jax.lax.dynamic_update_slice(
-            self.tail_k.value, k_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
+            self.tail_k.value, self._store(k_new, dt), idx
         )
         self.tail_v.value = jax.lax.dynamic_update_slice(
-            self.tail_v.value, v_new.astype(dt).swapaxes(-1, -2), (0, 0, 0, pos)
+            self.tail_v.value, self._store(v_new, dt), idx
         )
         self.length.value = self.length.value + k_new.shape[2]
         return (self.base_k.value, self.base_v.value,
@@ -320,12 +339,11 @@ class SplitKVCache(nnx.Module):
             self.write_base(k_new, v_new)
         else:
             self.append_tail(k_new, v_new)
-        k = jnp.concatenate(
-            [self.base_k.value, self.tail_k.value], axis=-1
-        ).swapaxes(-1, -2)
-        v = jnp.concatenate(
-            [self.base_v.value, self.tail_v.value], axis=-1
-        ).swapaxes(-1, -2)
+        ax = -1 if self.s_minor else 2
+        k = jnp.concatenate([self.base_k.value, self.tail_k.value], axis=ax)
+        v = jnp.concatenate([self.base_v.value, self.tail_v.value], axis=ax)
+        if self.s_minor:
+            k, v = k.swapaxes(-1, -2), v.swapaxes(-1, -2)
         return k, v, self.length.value
 
     def merge_tail(self) -> None:

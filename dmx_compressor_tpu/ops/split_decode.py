@@ -63,7 +63,9 @@ def prepare_split_decode(model, caches) -> None:
     model layouts."""
     from .basic_attention import (
         basic_sdpa_shape,
+        cast_k_rows,
         cast_k_rows_sm,
+        cast_v_sblocks,
         cast_v_sblocks_sm,
     )
 
@@ -75,8 +77,10 @@ def prepare_split_decode(model, caches) -> None:
         p = basic_sdpa_shape(attn.sdpa, attn.head_dim, cache.tail_len)
         if p is None or cache.base_len % p.block != 0:
             continue
+        ck = cast_k_rows_sm if cache.s_minor else cast_k_rows
+        cv = cast_v_sblocks_sm if cache.s_minor else cast_v_sblocks
         cache.set_base_cast(
-            cast_k_rows_sm(cache.base_k.value, p.wl),
-            cast_v_sblocks_sm(cache.base_v.value, p.block, p.wl),
+            ck(cache.base_k.value, p.wl),
+            cv(cache.base_v.value, p.block, p.wl),
             key=(p.wl, p.block),
         )
