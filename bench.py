@@ -34,6 +34,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+# Persistent compilation cache: reruns (and A/B sweeps) skip the remote
+# compile server (~2-4 min per jit on this platform, ~15 min per cold run).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def make_model(name: str, cfg):
     """Model constructor per family (VERDICT r2 #3: per-family BASIC decode
@@ -220,6 +229,21 @@ def decode_step_hbm_bytes(model, caches, mode: str, avg_len: float) -> int:
         if id(container) in seen:
             return
         seen.add(id(container))
+        # merged projections (models/*.fuse_for_inference) leave the dead
+        # originals attached for config/introspection; only the merged
+        # module's weights are read per decode step — counting both
+        # flattered hbm_util ~2x on merged families (TinyLlama printed an
+        # impossible 1.012; VERDICT r3 weak #5)
+        if getattr(container, "qkv_merged", None) is not None:
+            for name in ("q_proj", "k_proj", "v_proj"):
+                dead = getattr(container, name, None)
+                if dead is not None:
+                    seen.add(id(dead))
+        if getattr(container, "gateup_merged", None) is not None:
+            for name in ("gate_proj", "up_proj"):
+                dead = getattr(container, name, None)
+                if dead is not None:
+                    seen.add(id(dead))
         if isinstance(container, PackedBFPLinear):
             n = container.in_features * container.out_features
             if container.weight_bf16 is not None:

