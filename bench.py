@@ -47,16 +47,24 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 def make_model(name: str, cfg):
     """Model constructor per family (VERDICT r2 #3: per-family BASIC decode
     numbers, one bench binary)."""
+    from dmx_compressor_tpu.models.gemma import GemmaForCausalLM
     from dmx_compressor_tpu.models.llama import LlamaForCausalLM
     from dmx_compressor_tpu.models.opt import OPTForCausalLM
+    from dmx_compressor_tpu.models.qwen3 import Qwen3ForCausalLM
 
-    cls = LlamaForCausalLM if name.startswith("llama") else OPTForCausalLM
+    cls = {
+        "llama": LlamaForCausalLM,
+        "gemma": GemmaForCausalLM,
+        "qwen3": Qwen3ForCausalLM,
+    }.get(name.split("-")[0], OPTForCausalLM)
     return cls(cfg, rngs=nnx.Rngs(0))
 
 
 def model_config(name: str):
+    from dmx_compressor_tpu.models.gemma import GemmaConfig
     from dmx_compressor_tpu.models.llama import LlamaConfig
     from dmx_compressor_tpu.models.opt import OPTConfig
+    from dmx_compressor_tpu.models.qwen3 import Qwen3Config
 
     if name == "llama-1.1b":
         # TinyLlama-1.1B shape: GQA 32/4 heads, gated SiLU MLP, RoPE
@@ -64,6 +72,24 @@ def model_config(name: str):
             vocab_size=32000, hidden_size=2048, intermediate_size=5632,
             num_hidden_layers=22, num_attention_heads=32,
             num_key_value_heads=4, max_position_embeddings=2048,
+        )
+    if name == "gemma-2b":
+        # Gemma-2B shape: (1+w) RMSNorm, tanh-GELU GeGLU, MQA kv=1,
+        # head_dim 256 decoupled from hidden/heads, tied 256k embeddings
+        return GemmaConfig(
+            vocab_size=256000, hidden_size=2048, intermediate_size=16384,
+            num_hidden_layers=18, num_attention_heads=8,
+            num_key_value_heads=1, head_dim=256,
+            max_position_embeddings=8192,
+        )
+    if name == "qwen3-0.6b":
+        # Qwen3-0.6B shape: per-head q/k RMSNorm, GQA 16/8, head_dim 128
+        # decoupled from hidden/heads, tied embeddings
+        return Qwen3Config(
+            vocab_size=151936, hidden_size=1024, intermediate_size=3072,
+            num_hidden_layers=28, num_attention_heads=16,
+            num_key_value_heads=8, head_dim=128,
+            max_position_embeddings=40960, tie_word_embeddings=True,
         )
     return {
         "opt-125m": OPTConfig.opt_125m,

@@ -89,12 +89,32 @@ class GemmaAttention(nnx.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
 
+    def fuse_for_inference(self) -> None:
+        """Merge q/k/v into one packed projection when possible (called by
+        ops.compress.compress_for_inference; bit-exact — GQA widths and the
+        decoupled head_dim included)."""
+        from ..ops.compress import merge_parallel_linears
+
+        merged = merge_parallel_linears([self.q_proj, self.k_proj, self.v_proj])
+        if merged is not None:
+            self.qkv_merged = merged
+
+    def _project_qkv(self, x):
+        merged = getattr(self, "qkv_merged", None)
+        if merged is not None:
+            qkv = merged(x)
+            d = self.num_heads * self.head_dim
+            kv = self.num_kv_heads * self.head_dim
+            return qkv[..., :d], qkv[..., d : d + kv], qkv[..., d + kv :]
+        return self.q_proj(x), self.k_proj(x), self.v_proj(x)
+
     def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None,
                  prefill_offset: Optional[int] = None):
         B, T, _ = x.shape
-        q = self._split(self.q_proj(x), self.num_heads)
-        k = self._split(self.k_proj(x), self.num_kv_heads)
-        v = self._split(self.v_proj(x), self.num_kv_heads)
+        _q, _k, _v = self._project_qkv(x)
+        q = self._split(_q, self.num_heads)
+        k = self._split(_k, self.num_kv_heads)
+        v = self._split(_v, self.num_kv_heads)
         q, k = self.apply_rope(q, k, cos, sin)
         gqa = self.num_kv_heads != self.num_heads
         if prefill_offset is not None:
@@ -123,13 +143,28 @@ class GemmaAttention(nnx.Module):
 class GemmaMLP(nnx.Module):
     def __init__(self, cfg: GemmaConfig, *, rngs: nnx.Rngs):
         d, m = cfg.hidden_size, cfg.intermediate_size
+        self.intermediate_size = m
         self.gate_proj = nnx.Linear(d, m, use_bias=False, rngs=rngs)
         self.up_proj = nnx.Linear(d, m, use_bias=False, rngs=rngs)
         self.down_proj = nnx.Linear(m, d, use_bias=False, rngs=rngs)
         self.act_fn = rawnn.GELU(approximate="tanh")  # gelu_pytorch_tanh
         self.mul = rawnn.Mul()
 
+    def fuse_for_inference(self) -> None:
+        """Merge gate/up into one packed projection (one fused kernel + one
+        shared input cast; bit-exact, see merge_parallel_linears)."""
+        from ..ops.compress import merge_parallel_linears
+
+        merged = merge_parallel_linears([self.gate_proj, self.up_proj])
+        if merged is not None:
+            self.gateup_merged = merged
+
     def __call__(self, x):
+        merged = getattr(self, "gateup_merged", None)
+        if merged is not None:
+            gu = merged(x)
+            m = self.intermediate_size
+            return self.down_proj(self.mul(self.act_fn(gu[..., :m]), gu[..., m:]))
         return self.down_proj(self.mul(self.act_fn(self.gate_proj(x)), self.up_proj(x)))
 
 
@@ -145,6 +180,22 @@ class GemmaDecoderLayer(nnx.Module):
 
     def __call__(self, x, cos, sin, attn_mask=None, cache=None,
                  prefill_offset: Optional[int] = None):
+        if (
+            x.shape[1] == 1
+            and cache is not None
+            and attn_mask is not None
+            and jnp.issubdtype(jnp.asarray(attn_mask).dtype, jnp.floating)
+        ):
+            from ..ops.basic_layer import (
+                basic_gemma_layer_plan,
+                fused_llama_family_step,
+            )
+
+            plan = basic_gemma_layer_plan(self)
+            if plan is not None:
+                return fused_llama_family_step(
+                    self, x, cos, sin, attn_mask, cache, plan
+                )
         x = self.resadd1(
             self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,
                            prefill_offset=prefill_offset), x
@@ -210,7 +261,8 @@ class GemmaForCausalLM(nnx.Module):
         return self.lm_head(h)
 
     def init_cache(self, batch: int, max_len: int, dtype=None,
-                   quantized: bool = False, per_row: bool = False):
+                   quantized: bool = False, per_row: bool = False,
+                   split_base_len: Optional[int] = None):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -221,4 +273,5 @@ class GemmaForCausalLM(nnx.Module):
             dtype or cfg.dtype,
             quantized=quantized,
             per_row=per_row,
+            split_base_len=split_base_len,
         )

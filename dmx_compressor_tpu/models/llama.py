@@ -201,68 +201,9 @@ class LlamaDecoderLayer(nnx.Module):
         resadd1+RMS2+gate-up / SiLU*up / down_proj+resadd2 — numerics-
         identical to the modular module pipeline (bounded only by f32
         reduction order in the RMS moments)."""
-        from ..ops.basic_layer import (
-            fused_rms_linear,
-            rope_surrogate_fp16,
-            silu_surrogate_fp16,
-        )
-        from ..ops.basic_linear import fused_basic_linear
-        from ..ops.flash_decode import cached_attend
+        from ..ops.basic_layer import fused_llama_family_step
 
-        def w_kw(m):
-            if m.weight_bf16 is not None:
-                return {"w_bf16": m.weight_bf16.value}
-            return {"packed": m.packed}
-
-        B, T, D = x.shape
-        attn = self.self_attn
-        merged = attn.qkv_merged
-        qkv = fused_rms_linear(
-            x,
-            **w_kw(merged),
-            bias=merged.bias.value if merged.bias is not None else None,
-            rms_w=self.input_layernorm._weight,
-            eps=plan.ln1_eps,
-            wl=plan.wl,
-            in_block=plan.block,
-        )
-        d = attn.num_heads * attn.head_dim
-        kv = attn.num_kv_heads * attn.head_dim
-        q = attn._split(qkv[..., :d], attn.num_heads)
-        k = attn._split(qkv[..., d : d + kv], attn.num_kv_heads)
-        v = attn._split(qkv[..., d + kv :], attn.num_kv_heads)
-        q, k = rope_surrogate_fp16(q, k, cos, sin)
-        gqa = attn.num_kv_heads != attn.num_heads
-        ctx = cached_attend(attn.sdpa, q, k, v, cache, attn_mask,
-                            enable_gqa=gqa)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
-        y = attn.o_proj(ctx)  # PackedBFPLinear: one fused kernel
-        mlp = self.mlp
-        gateup = mlp.gateup_merged
-        gu, r = fused_rms_linear(
-            y,
-            **w_kw(gateup),
-            bias=gateup.bias.value if gateup.bias is not None else None,
-            rms_w=self.post_attention_layernorm._weight,
-            eps=plan.ln2_eps,
-            wl=plan.wl,
-            in_block=plan.block,
-            residual=x,
-            emit_pre=True,
-        )
-        m = mlp.intermediate_size
-        prod = silu_surrogate_fp16(gu[..., :m]) * gu[..., m:]  # Mul: SAME
-        down = mlp.down_proj
-        return fused_basic_linear(
-            prod,
-            w_bf16=down.weight_bf16.value if down.weight_bf16 is not None else None,
-            packed=None if down.weight_bf16 is not None else down.packed,
-            bias=down.bias.value if down.bias is not None else None,
-            in_wl=plan.wl,
-            in_block=plan.block,
-            out_fp16=True,
-            res_out=r,
-        )
+        return fused_llama_family_step(self, x, cos, sin, attn_mask, cache, plan)
 
 
 class LlamaModel(nnx.Module):

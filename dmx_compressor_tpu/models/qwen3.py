@@ -99,16 +99,36 @@ class Qwen3Attention(nnx.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, heads, self.head_dim).transpose(0, 2, 1, 3)
 
+    def fuse_for_inference(self) -> None:
+        """Merge q/k/v into one packed projection when possible (called by
+        ops.compress.compress_for_inference; bit-exact — GQA widths and the
+        decoupled head_dim included)."""
+        from ..ops.compress import merge_parallel_linears
+
+        merged = merge_parallel_linears([self.q_proj, self.k_proj, self.v_proj])
+        if merged is not None:
+            self.qkv_merged = merged
+
+    def _project_qkv(self, x):
+        merged = getattr(self, "qkv_merged", None)
+        if merged is not None:
+            qkv = merged(x)
+            d = self.num_heads * self.head_dim
+            kv = self.num_kv_heads * self.head_dim
+            return qkv[..., :d], qkv[..., d : d + kv], qkv[..., d + kv :]
+        return self.q_proj(x), self.k_proj(x), self.v_proj(x)
+
     def __call__(self, x, cos, sin, attn_mask=None, cache: Optional[KVCache] = None,
                  prefill_offset: Optional[int] = None, plain_causal: bool = True):
         B, T, _ = x.shape
+        _q, _k, _v = self._project_qkv(x)
         q = self.q_norm(
-            self.q_proj(x).reshape(B, T, self.num_heads, self.head_dim)
+            _q.reshape(B, T, self.num_heads, self.head_dim)
         ).transpose(0, 2, 1, 3)
         k = self.k_norm(
-            self.k_proj(x).reshape(B, T, self.num_kv_heads, self.head_dim)
+            _k.reshape(B, T, self.num_kv_heads, self.head_dim)
         ).transpose(0, 2, 1, 3)
-        v = self._split(self.v_proj(x), self.num_kv_heads)
+        v = self._split(_v, self.num_kv_heads)
         q, k = self.apply_rope(q, k, cos, sin)
         gqa = self.num_kv_heads != self.num_heads
         if prefill_offset is not None:
@@ -146,6 +166,23 @@ class Qwen3DecoderLayer(nnx.Module):
 
     def __call__(self, x, cos, sin, attn_mask=None, cache=None,
                  prefill_offset: Optional[int] = None, plain_causal: bool = True):
+        if (
+            x.shape[1] == 1
+            and cache is not None
+            and attn_mask is not None
+            and plain_causal
+            and jnp.issubdtype(jnp.asarray(attn_mask).dtype, jnp.floating)
+        ):
+            from ..ops.basic_layer import (
+                basic_qwen3_layer_plan,
+                fused_llama_family_step,
+            )
+
+            plan = basic_qwen3_layer_plan(self)
+            if plan is not None:
+                return fused_llama_family_step(
+                    self, x, cos, sin, attn_mask, cache, plan
+                )
         x = self.resadd1(
             self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,
                            prefill_offset=prefill_offset,
@@ -220,7 +257,8 @@ class Qwen3ForCausalLM(nnx.Module):
         return self.lm_head(h)
 
     def init_cache(self, batch: int, max_len: int, dtype=None,
-                   quantized: bool = False, per_row: bool = False):
+                   quantized: bool = False, per_row: bool = False,
+                   split_base_len: Optional[int] = None):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -231,4 +269,5 @@ class Qwen3ForCausalLM(nnx.Module):
             dtype or cfg.dtype,
             quantized=quantized,
             per_row=per_row,
+            split_base_len=split_base_len,
         )

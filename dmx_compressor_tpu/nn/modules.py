@@ -802,6 +802,21 @@ class GemmaRMSNorm(RMSNorm):
             y = y * (1.0 + weight.astype(jnp.float32))
         return y.astype(x.dtype)
 
+    def approximator_wrapper(self, inputs, approx_args, approx_kwargs,
+                             **wrapper_kwargs):
+        # the RMS_NORM[vsimd] surrogate multiplies by its weight argument
+        # directly; Gemma's semantics are (1 + weight) — without this
+        # adjustment a BASIC-configured GemmaRMSNorm (weights init at 0)
+        # scales its output by ~0.  The exact branch (functional_forward)
+        # keeps the raw weight and adds 1 internally, matching the cast
+        # order: hypernet-cast w, then 1 + w.
+        normalized_shape, weight, eps = approx_args
+        if weight is not None:
+            weight = 1.0 + weight.astype(jnp.float32)
+        return self.approximator(
+            *inputs, normalized_shape, weight, eps, **approx_kwargs
+        )
+
 
 class BatchNorm2d(DmxModule):
     """BatchNorm with full train/eval running-stat logic

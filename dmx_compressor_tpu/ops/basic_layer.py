@@ -146,6 +146,15 @@ def silu_surrogate_fp16(x: Array, kmax: int = 15) -> Array:
     return _fp16_cast_f32(x16 * sig)
 
 
+def gelu_tanh_fp16(x: Array) -> Array:
+    """FLOAT16 input cast + exact tanh-GELU + FLOAT16 output cast: the BASIC
+    rule set leaves GELUBase at approximation NONE (__init__.py
+    default_approx.GELU), so the module computes the raw function between
+    its FLOAT16 io casts (Gemma's ``gelu_pytorch_tanh`` MLP)."""
+    x16 = _fp16_cast_f32(x.astype(jnp.float32))
+    return _fp16_cast_f32(jax.nn.gelu(x16, approximate=True))
+
+
 def rope_surrogate_fp16(q: Array, k: Array, cos: Array, sin: Array):
     """ApplyRotaryPosEmb under the BASIC rule set: FLOAT16 casts on all four
     inputs, the APPLY_LLAMA_ROPE[vsimd] surrogate (rotate-half in fp32,
@@ -201,6 +210,88 @@ def fused_rms_linear(
     if emit_pre:
         return y, pre.astype(x.dtype)
     return y
+
+def fused_llama_family_step(layer, x, cos, sin, attn_mask, cache, plan):
+    """One fused BASIC decode step for a Llama-topology decoder layer
+    (Llama / TinyLlama / Gemma / Qwen3), driven by the family deltas in
+    ``plan``: RMS1+qkv / [q-k per-head RMS (Qwen3)] / RoPE surrogate /
+    fused SDPA (split-cache, GQA) / o_proj / resadd1+RMS2+gate-up /
+    act*up / down_proj+resadd2 — numerics-identical to the modular module
+    pipeline (bounded only by f32 reduction order in the RMS moments).
+
+    Norm weights: Gemma's (1+w) folds here exactly as the module's
+    approximator_wrapper does (cast w via hypernet, then 1 + w)."""
+    from .basic_linear import fused_basic_linear
+    from .flash_decode import cached_attend
+
+    def w_kw(m):
+        if m.weight_bf16 is not None:
+            return {"w_bf16": m.weight_bf16.value}
+        return {"packed": m.packed}
+
+    def norm_w(ln):
+        w = ln._weight
+        return 1.0 + w.astype(jnp.float32) if plan.gemma_norm else w
+
+    B, T, D = x.shape
+    attn = layer.self_attn
+    merged = attn.qkv_merged
+    qkv = fused_rms_linear(
+        x,
+        **w_kw(merged),
+        bias=merged.bias.value if merged.bias is not None else None,
+        rms_w=norm_w(layer.input_layernorm),
+        eps=plan.ln1_eps,
+        wl=plan.wl,
+        in_block=plan.block,
+    )
+    d = attn.num_heads * attn.head_dim
+    kv = attn.num_kv_heads * attn.head_dim
+    q = attn._split(qkv[..., :d], attn.num_heads)
+    k = attn._split(qkv[..., d : d + kv], attn.num_kv_heads)
+    v = attn._split(qkv[..., d + kv :], attn.num_kv_heads)
+    if plan.qk_norm_eps is not None:
+        # Qwen3 per-head q/k RMSNorm pre-RoPE (over head_dim, elementwise
+        # across heads/positions: layout-independent)
+        q = rms_norm_surrogate_fp16(q, attn.q_norm._weight, plan.qk_norm_eps)
+        k = rms_norm_surrogate_fp16(k, attn.k_norm._weight, plan.qk_norm_eps)
+    q, k = rope_surrogate_fp16(q, k, cos, sin)
+    gqa = attn.num_kv_heads != attn.num_heads
+    ctx = cached_attend(attn.sdpa, q, k, v, cache, attn_mask, enable_gqa=gqa)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, d)
+    y = attn.o_proj(ctx)  # PackedBFPLinear: one fused kernel
+    mlp = layer.mlp
+    gateup = mlp.gateup_merged
+    gu, r = fused_rms_linear(
+        y,
+        **w_kw(gateup),
+        bias=gateup.bias.value if gateup.bias is not None else None,
+        rms_w=norm_w(layer.post_attention_layernorm),
+        eps=plan.ln2_eps,
+        wl=plan.wl,
+        in_block=plan.block,
+        residual=x,
+        emit_pre=True,
+    )
+    m = mlp.intermediate_size
+    gate = (
+        silu_surrogate_fp16(gu[..., :m])
+        if plan.act == "silu"
+        else gelu_tanh_fp16(gu[..., :m])
+    )
+    prod = gate * gu[..., m:]  # Mul: SAME
+    down = mlp.down_proj
+    return fused_basic_linear(
+        prod,
+        w_bf16=down.weight_bf16.value if down.weight_bf16 is not None else None,
+        packed=None if down.weight_bf16 is not None else down.packed,
+        bias=down.bias.value if down.bias is not None else None,
+        in_wl=plan.wl,
+        in_block=plan.block,
+        out_fp16=True,
+        res_out=r,
+    )
+
 
 # ---------------------------------------------------------------------------
 # static shape detection
@@ -329,12 +420,18 @@ def basic_head_plan(final_ln, lm_head) -> Optional[BasicHeadPlan]:
 
 class BasicLlamaPlan(NamedTuple):
     """Static parameters proving a Llama-family decoder layer is in the
-    exact BASIC decode shape the fused step reproduces."""
+    exact BASIC decode shape the fused step reproduces.  The family deltas
+    ride along as plan fields: Gemma flips ``gemma_norm`` ((1+w) RMSNorm)
+    and ``act`` ("gelu_tanh": BASIC leaves GELUBase at approximation NONE);
+    Qwen3 sets ``qk_norm_eps`` (per-head q/k RMSNorm pre-RoPE)."""
 
     wl: int
     block: int
     ln1_eps: float
     ln2_eps: float
+    gemma_norm: bool = False
+    act: str = "silu"
+    qk_norm_eps: Optional[float] = None
 
 
 def _casts_same_ok(m) -> bool:
@@ -352,14 +449,18 @@ def _casts_same_ok(m) -> bool:
     return isinstance(m.approximator.function, NoApproximation)
 
 
-def basic_llama_layer_plan(layer) -> Optional[BasicLlamaPlan]:
-    """Return the fused-step plan when a LlamaDecoderLayer-shaped module
-    (post compress_for_inference: merged qkv + merged gate/up) is in BASIC
-    decode shape; None -> modular path.  Checked surface mirrors
-    :func:`basic_layer_plan` plus the Llama-specific modules: RMSNorms with
-    the RMS_NORM[vsimd] surrogate, SiLU with SILU[vsimd] (default params),
-    Mul left SAME (the BASIC rule set does not configure it), RoPE with
-    APPLY_LLAMA_ROPE[vsimd] and FLOAT16 io on all four inputs."""
+def _llama_family_plan(
+    layer, *, gemma_norm: bool = False, act: str = "silu",
+    qk_norm: bool = False,
+) -> Optional[BasicLlamaPlan]:
+    """Shared plan checker for the Llama-topology families.  Checked
+    surface mirrors :func:`basic_layer_plan` plus the family modules:
+    RMSNorms with the RMS_NORM[vsimd] surrogate (GemmaRMSNorm when
+    ``gemma_norm`` — the (1+w) variant, exact type match so the two never
+    cross), the gate activation (SiLU with SILU[vsimd], or tanh-GELU left
+    at approximation NONE by the BASIC rule set), Mul left SAME, RoPE with
+    APPLY_LLAMA_ROPE[vsimd] and FLOAT16 io on all four inputs, and for
+    Qwen3 the per-head q/k RMSNorms pre-RoPE."""
     from ..nn import modules as dmxnn
     from ..nn.core import DmxModule
 
@@ -367,6 +468,7 @@ def basic_llama_layer_plan(layer) -> Optional[BasicLlamaPlan]:
         return None
     attn = getattr(layer, "self_attn", None)
     mlp = getattr(layer, "mlp", None)
+    norm_t = dmxnn.GemmaRMSNorm if gemma_norm else dmxnn.RMSNorm
     try:
         merged = getattr(attn, "qkv_merged", None)
         gateup = getattr(mlp, "gateup_merged", None)
@@ -380,16 +482,26 @@ def basic_llama_layer_plan(layer) -> Optional[BasicLlamaPlan]:
             return None
         ln1, ln2 = layer.input_layernorm, layer.post_attention_layernorm
         for ln in (ln1, ln2):
-            if type(ln) is not dmxnn.RMSNorm or not _fp16_io_ok(ln, "rms_norm"):
+            if type(ln) is not norm_t or not _fp16_io_ok(ln, "rms_norm"):
                 return None
             if ln.weight is None:
                 return None
         for ra in (layer.resadd1, layer.resadd2):
             if not isinstance(ra, dmxnn.ResAdd) or not _fp16_io_ok(ra, None):
                 return None
-        if not isinstance(mlp.act_fn, dmxnn.SiLU) or not _fp16_io_ok(
-            mlp.act_fn, "silu"
-        ):
+        if act == "silu":
+            if not isinstance(mlp.act_fn, dmxnn.SiLU) or not _fp16_io_ok(
+                mlp.act_fn, "silu"
+            ):
+                return None
+        elif act == "gelu_tanh":
+            if (
+                not isinstance(mlp.act_fn, dmxnn.GELUBase)
+                or mlp.act_fn.approximate != "tanh"
+                or not _fp16_io_ok(mlp.act_fn, None)
+            ):
+                return None
+        else:
             return None
         if not isinstance(mlp.mul, dmxnn.Mul) or not _casts_same_ok(mlp.mul):
             return None
@@ -398,6 +510,19 @@ def basic_llama_layer_plan(layer) -> Optional[BasicLlamaPlan]:
             rope, "apply_rotary_pos_emb"
         ):
             return None
+        qk_eps = None
+        if qk_norm:
+            qn, kn = attn.q_norm, attn.k_norm
+            for n in (qn, kn):
+                if type(n) is not dmxnn.RMSNorm or not _fp16_io_ok(
+                    n, "rms_norm"
+                ):
+                    return None
+                if n.weight is None:
+                    return None
+            if float(qn.eps) != float(kn.eps):
+                return None
+            qk_eps = float(qn.eps)
         ic = merged.input_casts["input_cast"]
         if (
             gateup.input_casts["input_cast"].format != ic.format
@@ -410,9 +535,30 @@ def basic_llama_layer_plan(layer) -> Optional[BasicLlamaPlan]:
             block=ic.format.block_size,
             ln1_eps=float(ln1.eps),
             ln2_eps=float(ln2.eps),
+            gemma_norm=gemma_norm,
+            act=act,
+            qk_norm_eps=qk_eps,
         )
     except (KeyError, AttributeError):
         return None
+
+
+def basic_llama_layer_plan(layer) -> Optional[BasicLlamaPlan]:
+    """Return the fused-step plan when a LlamaDecoderLayer-shaped module
+    (post compress_for_inference: merged qkv + merged gate/up) is in BASIC
+    decode shape; None -> modular path."""
+    return _llama_family_plan(layer)
+
+
+def basic_gemma_layer_plan(layer) -> Optional[BasicLlamaPlan]:
+    """Gemma variant: (1+w) GemmaRMSNorms, tanh-GELU gate activation
+    (left at approximation NONE by the BASIC rule set)."""
+    return _llama_family_plan(layer, gemma_norm=True, act="gelu_tanh")
+
+
+def basic_qwen3_layer_plan(layer) -> Optional[BasicLlamaPlan]:
+    """Qwen3 variant: Llama layer chain + per-head q/k RMSNorms pre-RoPE."""
+    return _llama_family_plan(layer, qk_norm=True)
 
 
 def basic_layer_plan(layer) -> Optional[BasicLayerPlan]:
