@@ -48,6 +48,7 @@ def make_model(name: str, cfg):
     """Model constructor per family (VERDICT r2 #3: per-family BASIC decode
     numbers, one bench binary)."""
     from dmx_compressor_tpu.models.gemma import GemmaForCausalLM
+    from dmx_compressor_tpu.models.gpt2 import GPT2LMHeadModel
     from dmx_compressor_tpu.models.llama import LlamaForCausalLM
     from dmx_compressor_tpu.models.opt import OPTForCausalLM
     from dmx_compressor_tpu.models.qwen3 import Qwen3ForCausalLM
@@ -56,6 +57,7 @@ def make_model(name: str, cfg):
         "llama": LlamaForCausalLM,
         "gemma": GemmaForCausalLM,
         "qwen3": Qwen3ForCausalLM,
+        "gpt2": GPT2LMHeadModel,
     }.get(name.split("-")[0], OPTForCausalLM)
     return cls(cfg, rngs=nnx.Rngs(0))
 
@@ -91,6 +93,10 @@ def model_config(name: str):
             num_key_value_heads=8, head_dim=128,
             max_position_embeddings=40960, tie_word_embeddings=True,
         )
+    if name == "gpt2":
+        from dmx_compressor_tpu.models.gpt2 import GPT2Config
+
+        return GPT2Config()  # GPT-2 124M: 12x768, 12 heads, tied 50k vocab
     return {
         "opt-125m": OPTConfig.opt_125m,
         "opt-350m": OPTConfig.opt_350m,

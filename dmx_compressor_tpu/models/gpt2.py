@@ -108,11 +108,87 @@ class GPT2Block(nnx.Module):
 
     def __call__(self, x, attn_mask=None, cache=None,
                  prefill_offset: Optional[int] = None):
+        if (
+            x.shape[1] == 1
+            and cache is not None
+            and attn_mask is not None
+            and jnp.issubdtype(jnp.asarray(attn_mask).dtype, jnp.floating)
+        ):
+            from ..ops.basic_layer import basic_gpt2_block_plan
+
+            plan = basic_gpt2_block_plan(self)
+            if plan is not None:
+                return self._fused_basic_step(x, attn_mask, cache, plan)
         x = self.resadd1(
             self.attn(self.ln_1(x), attn_mask=attn_mask, cache=cache,
                       prefill_offset=prefill_offset), x)
         x = self.resadd2(self.mlp(self.ln_2(x)), x)
         return x
+
+    def _fused_basic_step(self, x, attn_mask, cache, plan):
+        """BASIC decode step via the fused chains (ops/basic_layer.py):
+        LN1+c_attn / fused SDPA / c_proj / resadd1+LN2+c_fc / tanh-GELU /
+        mlp.c_proj+resadd2 — numerics-identical to the modular module
+        pipeline (bounded only by f32 reduction order in the LN moments).
+        Same shape as OPT's fused step with the ReLU swapped for the exact
+        tanh-GELU between FLOAT16 casts (the BASIC rule set leaves GELUBase
+        at approximation NONE)."""
+        from ..ops.basic_layer import fused_ln_linear, gelu_tanh_fp16
+        from ..ops.basic_linear import fused_basic_linear
+        from ..ops.flash_decode import cached_attend
+
+        def w_kw(m):
+            if m.weight_bf16 is not None:
+                return {"w_bf16": m.weight_bf16.value}
+            return {"packed": m.packed}
+
+        B, T, D = x.shape
+        attn = self.attn
+        qkv = fused_ln_linear(
+            x,
+            **w_kw(attn.c_attn),
+            bias=attn.c_attn.bias.value,
+            ln_w=self.ln_1._weight,
+            ln_b=self.ln_1._bias,
+            eps=plan.ln1_eps,
+            wl=plan.wl,
+            in_block=plan.block,
+        )
+
+        def split(t):
+            return t.reshape(B, T, attn.num_heads, attn.head_dim).transpose(
+                0, 2, 1, 3
+            )
+
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        ctx = cached_attend(attn.sdpa, split(q), split(k), split(v), cache,
+                            attn_mask)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
+        y = attn.c_proj(ctx)  # PackedBFPLinear: one fused kernel
+        h, r = fused_ln_linear(
+            y,
+            **w_kw(self.mlp.c_fc),
+            bias=self.mlp.c_fc.bias.value,
+            ln_w=self.ln_2._weight,
+            ln_b=self.ln_2._bias,
+            eps=plan.ln2_eps,
+            wl=plan.wl,
+            in_block=plan.block,
+            residual=x,
+            emit_pre=True,
+        )
+        h = gelu_tanh_fp16(h)
+        fc2 = self.mlp.c_proj
+        return fused_basic_linear(
+            h,
+            w_bf16=fc2.weight_bf16.value if fc2.weight_bf16 is not None else None,
+            packed=None if fc2.weight_bf16 is not None else fc2.packed,
+            bias=fc2.bias.value,
+            in_wl=plan.wl,
+            in_block=plan.block,
+            out_fp16=True,
+            res_out=r,
+        )
 
 
 class GPT2Model(nnx.Module):
@@ -123,7 +199,8 @@ class GPT2Model(nnx.Module):
         self.h = nnx.data([GPT2Block(cfg, rngs=rngs) for _ in range(cfg.n_layer)])
         self.ln_f = nnx.LayerNorm(cfg.n_embd, epsilon=cfg.layer_norm_epsilon, rngs=rngs)
 
-    def __call__(self, input_ids, caches=None, position_offset=0):
+    def __call__(self, input_ids, caches=None, position_offset=0,
+                 apply_final_ln: bool = True):
         from .positions import causal_mask, resolve_positions
 
         B, T = input_ids.shape
@@ -146,7 +223,7 @@ class GPT2Model(nnx.Module):
         for i, block in enumerate(self.h):
             x = block(x, attn_mask=mask, cache=None if caches is None else caches[i],
                       prefill_offset=prefill_offset)
-        return self.ln_f(x)
+        return self.ln_f(x) if apply_final_ln else x
 
 
 class GPT2LMHeadModel(nnx.Module):
@@ -160,15 +237,41 @@ class GPT2LMHeadModel(nnx.Module):
         return self.cfg
 
     def __call__(self, input_ids, caches=None, position_offset=0):
+        if input_ids.shape[1] == 1 and caches is not None:
+            from ..ops.basic_layer import basic_head_plan, fused_ln_linear
+
+            final_ln = self.transformer.ln_f
+            plan = basic_head_plan(final_ln, self.lm_head)
+            if plan is not None:
+                h = self.transformer(
+                    input_ids, caches=caches,
+                    position_offset=position_offset, apply_final_ln=False,
+                )
+                head = self.lm_head
+                return fused_ln_linear(
+                    h,
+                    w_bf16=head.weight_bf16.value
+                    if head.weight_bf16 is not None else None,
+                    packed=None if head.weight_bf16 is not None else head.packed,
+                    bias=head.bias.value if head.bias is not None
+                    else jnp.zeros((head.out_features,), jnp.float32),
+                    ln_w=final_ln._weight,
+                    ln_b=final_ln._bias,
+                    eps=plan.ln_eps,
+                    wl=plan.wl,
+                    in_block=plan.block,
+                )
         h = self.transformer(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 
     def init_cache(self, batch: int, max_len: int, dtype=None,
-                   quantized: bool = False, per_row: bool = False):
+                   quantized: bool = False, per_row: bool = False,
+                   split_base_len: Optional[int] = None):
         cfg = self.cfg
         return make_caches(cfg.n_layer, batch, cfg.n_head, max_len,
                            cfg.n_embd // cfg.n_head, dtype or cfg.dtype,
-                           quantized=quantized, per_row=per_row)
+                           quantized=quantized, per_row=per_row,
+                           split_base_len=split_base_len)
 
     @staticmethod
     def hf_tensor_converter(tensors):

@@ -177,15 +177,17 @@ class LlamaDecoderLayer(nnx.Module):
             x.shape[1] == 1
             and cache is not None
             and attn_mask is not None
-            and plain_causal
             and jnp.issubdtype(jnp.asarray(attn_mask).dtype, jnp.floating)
         ):
+            # banded (sliding-window) masks fuse too: the fused SDPA applies
+            # the mask additively (ops/basic_layer.fused_llama_family_step)
             from ..ops.basic_layer import basic_llama_layer_plan
 
             plan = basic_llama_layer_plan(self)
             if plan is not None:
                 return self._fused_basic_step(
-                    x, cos, sin, attn_mask, cache, plan
+                    x, cos, sin, attn_mask, cache, plan,
+                    plain_causal=plain_causal,
                 )
         x = self.resadd1(
             self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,
@@ -195,7 +197,8 @@ class LlamaDecoderLayer(nnx.Module):
         x = self.resadd2(self.mlp(self.post_attention_layernorm(x)), x)
         return x
 
-    def _fused_basic_step(self, x, cos, sin, attn_mask, cache, plan):
+    def _fused_basic_step(self, x, cos, sin, attn_mask, cache, plan,
+                          plain_causal: bool = True):
         """BASIC decode step via the fused chains (ops/basic_layer.py):
         RMS1+qkv / RoPE surrogate / fused SDPA (split-cache, GQA) / o_proj /
         resadd1+RMS2+gate-up / SiLU*up / down_proj+resadd2 — numerics-
@@ -203,7 +206,8 @@ class LlamaDecoderLayer(nnx.Module):
         reduction order in the RMS moments)."""
         from ..ops.basic_layer import fused_llama_family_step
 
-        return fused_llama_family_step(self, x, cos, sin, attn_mask, cache, plan)
+        return fused_llama_family_step(self, x, cos, sin, attn_mask, cache,
+                                       plan, plain_causal=plain_causal)
 
 
 class LlamaModel(nnx.Module):

@@ -135,7 +135,8 @@ class MistralForCausalLM(nnx.Module):
         return self.lm_head(h)
 
     def init_cache(self, batch: int, max_len: int, dtype=None,
-                   quantized: bool = False, per_row: bool = False):
+                   quantized: bool = False, per_row: bool = False,
+                   split_base_len: Optional[int] = None):
         cfg = self.cfg
         return make_caches(
             cfg.num_hidden_layers,
@@ -146,4 +147,5 @@ class MistralForCausalLM(nnx.Module):
             dtype or cfg.dtype,
             quantized=quantized,
             per_row=per_row,
+            split_base_len=split_base_len,
         )

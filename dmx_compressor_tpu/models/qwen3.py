@@ -170,9 +170,10 @@ class Qwen3DecoderLayer(nnx.Module):
             x.shape[1] == 1
             and cache is not None
             and attn_mask is not None
-            and plain_causal
             and jnp.issubdtype(jnp.asarray(attn_mask).dtype, jnp.floating)
         ):
+            # banded (sliding-window) masks fuse too: the fused SDPA applies
+            # the mask additively (ops/basic_layer.fused_llama_family_step)
             from ..ops.basic_layer import (
                 basic_qwen3_layer_plan,
                 fused_llama_family_step,
@@ -181,7 +182,8 @@ class Qwen3DecoderLayer(nnx.Module):
             plan = basic_qwen3_layer_plan(self)
             if plan is not None:
                 return fused_llama_family_step(
-                    self, x, cos, sin, attn_mask, cache, plan
+                    self, x, cos, sin, attn_mask, cache, plan,
+                    plain_causal=plain_causal,
                 )
         x = self.resadd1(
             self.self_attn(self.input_layernorm(x), cos, sin, attn_mask, cache,

@@ -211,13 +211,21 @@ def fused_rms_linear(
         return y, pre.astype(x.dtype)
     return y
 
-def fused_llama_family_step(layer, x, cos, sin, attn_mask, cache, plan):
+def fused_llama_family_step(layer, x, cos, sin, attn_mask, cache, plan,
+                            plain_causal: bool = True):
     """One fused BASIC decode step for a Llama-topology decoder layer
-    (Llama / TinyLlama / Gemma / Qwen3), driven by the family deltas in
-    ``plan``: RMS1+qkv / [q-k per-head RMS (Qwen3)] / RoPE surrogate /
-    fused SDPA (split-cache, GQA) / o_proj / resadd1+RMS2+gate-up /
-    act*up / down_proj+resadd2 — numerics-identical to the modular module
-    pipeline (bounded only by f32 reduction order in the RMS moments).
+    (Llama / TinyLlama / Mistral / Gemma / Qwen3), driven by the family
+    deltas in ``plan``: RMS1+qkv / [q-k per-head RMS (Qwen3)] / RoPE
+    surrogate / fused SDPA (split-cache, GQA) / o_proj /
+    resadd1+RMS2+gate-up / act*up / down_proj+resadd2 — numerics-identical
+    to the modular module pipeline (bounded only by f32 reduction order in
+    the RMS moments).
+
+    The attention mask is applied ADDITIVELY throughout the fused SDPA
+    chain (ops/basic_attention.py), so banded sliding-window masks
+    (Mistral, windowed Qwen3) fuse exactly like plain causal ones;
+    ``plain_causal`` only steers the flash-decode routing inside
+    cached_attend, which BASIC's non-transparent SDPA never takes.
 
     Norm weights: Gemma's (1+w) folds here exactly as the module's
     approximator_wrapper does (cast w via hypernet, then 1 + w)."""
@@ -257,7 +265,8 @@ def fused_llama_family_step(layer, x, cos, sin, attn_mask, cache, plan):
         k = rms_norm_surrogate_fp16(k, attn.k_norm._weight, plan.qk_norm_eps)
     q, k = rope_surrogate_fp16(q, k, cos, sin)
     gqa = attn.num_kv_heads != attn.num_heads
-    ctx = cached_attend(attn.sdpa, q, k, v, cache, attn_mask, enable_gqa=gqa)
+    ctx = cached_attend(attn.sdpa, q, k, v, cache, attn_mask, enable_gqa=gqa,
+                        plain_causal=plain_causal)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, d)
     y = attn.o_proj(ctx)  # PackedBFPLinear: one fused kernel
     mlp = layer.mlp
@@ -559,6 +568,60 @@ def basic_gemma_layer_plan(layer) -> Optional[BasicLlamaPlan]:
 def basic_qwen3_layer_plan(layer) -> Optional[BasicLlamaPlan]:
     """Qwen3 variant: Llama layer chain + per-head q/k RMSNorms pre-RoPE."""
     return _llama_family_plan(layer, qk_norm=True)
+
+
+def basic_gpt2_block_plan(block) -> Optional[BasicLayerPlan]:
+    """Return the fused-step plan when a GPT2Block (post
+    compress_for_inference) is in BASIC decode shape; None -> modular path.
+    GPT-2's c_attn is born merged (one 3d projection), so only the cast
+    surface needs proving: LayerNorms with the LAYER_NORM[vsimd] surrogate,
+    tanh-GELU left at approximation NONE by the BASIC rule set, biased
+    PackedBFPLinears with one shared input format."""
+    from ..nn import modules as dmxnn
+    from ..nn.core import DmxModule
+
+    if not DmxModule.inference_mode or DmxModule.plugins:
+        return None
+    attn = getattr(block, "attn", None)
+    mlp = getattr(block, "mlp", None)
+    try:
+        if not _linear_basic_ok(attn.c_attn) or not _linear_basic_ok(attn.c_proj):
+            return None
+        if not _linear_basic_ok(mlp.c_fc) or not _linear_basic_ok(mlp.c_proj):
+            return None
+        ln1, ln2 = block.ln_1, block.ln_2
+        for ln in (ln1, ln2):
+            if not isinstance(ln, dmxnn.LayerNorm) or not _fp16_io_ok(
+                ln, "layer_norm"
+            ):
+                return None
+            if ln.weight is None or ln.bias is None:
+                return None
+        for ra in (block.resadd1, block.resadd2):
+            if not isinstance(ra, dmxnn.ResAdd) or not _fp16_io_ok(ra, None):
+                return None
+        act = mlp.act
+        if (
+            not isinstance(act, dmxnn.GELUBase)
+            or act.approximate != "tanh"
+            or not _fp16_io_ok(act, None)
+        ):
+            return None
+        ic = attn.c_attn.input_casts["input_cast"]
+        if (
+            attn.c_proj.input_casts["input_cast"].format != ic.format
+            or mlp.c_fc.input_casts["input_cast"].format != ic.format
+            or mlp.c_proj.input_casts["input_cast"].format != ic.format
+        ):
+            return None
+        return BasicLayerPlan(
+            wl=ic.format.precision,
+            block=ic.format.block_size,
+            ln1_eps=float(ln1.eps),
+            ln2_eps=float(ln2.eps),
+        )
+    except (KeyError, AttributeError):
+        return None
 
 
 def basic_layer_plan(layer) -> Optional[BasicLayerPlan]:

@@ -171,15 +171,28 @@ class TestQwen3FusedBasicDecode:
             np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4
         )
 
-    def test_sliding_window_stays_modular(self):
-        """With a sliding window the mask is banded, not plain causal —
-        the fused step (plain col<len masks) must not engage."""
-        cfg = _qwen3_cfg()
-        cfg.sliding_window = 16
-        model = Qwen3ForCausalLM(cfg, rngs=nnx.Rngs(0))
-        dm = DmxModel.from_raw(model)
-        dm.to_basic_mode()
-        compress_for_inference(dm)
+    def test_sliding_window_fused_matches_modular(self):
+        """Banded (sliding-window) masks ride the fused step too: the fused
+        SDPA applies the mask additively, so the window is exact."""
+
+        def build(defuse):
+            cfg = _qwen3_cfg()
+            cfg.sliding_window = 16
+            model = Qwen3ForCausalLM(cfg, rngs=nnx.Rngs(0))
+            dm = DmxModel.from_raw(model)
+            dm.to_basic_mode()
+            compress_for_inference(dm)
+            if defuse:
+                for layer in model.model.layers:
+                    del layer.self_attn.qkv_merged
+                    del layer.mlp.gateup_merged
+            return cfg, model
+
+        cfg, fused = build(False)
+        _, modular = build(True)
+        B, P = 2, 64
+        ids = jax.random.randint(jax.random.key(9), (B, P), 0, cfg.vocab_size)
+        tok = jnp.ones((B, 1), jnp.int32)
 
         calls = []
         from dmx_compressor_tpu.ops import basic_layer as bl
@@ -190,19 +203,21 @@ class TestQwen3FusedBasicDecode:
             calls.append(1)
             return orig(*a, **k)
 
+        mono = modular.init_cache(B, P + 64)
+        modular(ids, caches=mono, position_offset=0)
+        want = modular(tok, caches=mono, position_offset=P)
+
+        caches = fused.init_cache(B, P + 64)
+        fused(ids, caches=caches, position_offset=0)
         bl.fused_llama_family_step = spy
         try:
-            B, P = 1, 32
-            ids = jax.random.randint(
-                jax.random.key(9), (B, P), 0, cfg.vocab_size
-            )
-            caches = model.init_cache(B, P + 8)
-            model(ids, caches=caches, position_offset=0)
-            model(jnp.ones((B, 1), jnp.int32), caches=caches,
-                  position_offset=P)
+            got = fused(tok, caches=caches, position_offset=P)
         finally:
             bl.fused_llama_family_step = orig
-        assert not calls
+        assert calls, "fused step did not engage on the banded mask"
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4
+        )
 
 
 def test_gemma_rmsnorm_surrogate_uses_one_plus_weight():
