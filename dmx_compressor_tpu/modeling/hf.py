@@ -350,22 +350,60 @@ def eval_text_generation(
             text = "\n\n".join(references)
             dataset_ids = pipe.tokenizer(text, return_tensors="np").input_ids
         return pipe.do_forward_on(dataset_ids, **kwargs)
+    if metric in METRIC_REGISTRY:
+        return METRIC_REGISTRY[metric](
+            pipe, references=references, dataset_ids=dataset_ids, **kwargs
+        )
     try:
         import evaluate  # optional; absent in zero-egress environments
     except ImportError as e:
         raise NotImplementedError(
-            f"metric {metric!r} needs the optional `evaluate` package"
+            f"metric {metric!r} needs the optional `evaluate` package "
+            f"(or register_metric({metric!r}, fn))"
         ) from e
     m = evaluate.load(metric, module_type="metric")
     return m.compute(model=pipe.raw_model, references=references, **kwargs)
 
 
+# ---------------------------------------------------------------------------
+# pluggable metric / task registries (the reference reaches arbitrary
+# metrics through evaluate.load / evaluator(task), hf.py:143-217; this
+# build additionally takes local callables so the same API shape works in
+# zero-egress environments where the `evaluate` package is unavailable)
+# ---------------------------------------------------------------------------
+
+METRIC_REGISTRY: Dict[str, Any] = {}
+TASK_REGISTRY: Dict[str, Any] = {}
+
+
+def register_metric(name: str, fn=None):
+    """Register ``fn(pipe, references=..., dataset_ids=..., **kw) -> dict``
+    under a metric name for ``eval_text_generation`` /
+    ``Pipeline.evaluate_task("text-generation", metric=name)``.  Usable as
+    a decorator (``@register_metric("my-metric")``) or directly."""
+    if fn is None:
+        return lambda f: register_metric(name, f)
+    METRIC_REGISTRY[name] = fn
+    return fn
+
+
+def register_task(name: str, fn=None):
+    """Register ``fn(pipe, **kw) -> dict`` as an evaluation task for
+    ``Pipeline.evaluate_task(name, ...)`` (the analogue of HF
+    ``evaluator(task)`` in the reference's pipe_eval)."""
+    if fn is None:
+        return lambda f: register_task(name, f)
+    TASK_REGISTRY[name] = fn
+    return fn
+
+
 def pipe_eval(pipe: "Pipeline", task: str, **kwargs) -> Dict[str, float]:
     """Task-dispatching evaluation entry (reference pipe_eval,
-    hf.py:188-217)."""
+    hf.py:188-217).  Built-in tasks plus anything in TASK_REGISTRY."""
     mapping = {
         "text-generation": eval_text_generation,
         "question-answering": eval_question_answering,
+        **TASK_REGISTRY,
     }
     if task not in mapping:
         raise ValueError(f"Unsupported task type '{task}'.")
