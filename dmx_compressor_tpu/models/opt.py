@@ -224,7 +224,9 @@ class OPTAttention(nnx.Module):
             from ..ops.flash_decode import flash_decode_int8, flash_decode_viable
 
             S_kv = kv.k_q.shape[-1] if kv.s_minor else kv.k_q.shape[-2]
-            if T == 1 and attn_mask is not None and flash_decode_viable(S_kv):
+            if T == 1 and attn_mask is not None and flash_decode_viable(
+                S_kv, kind="int8"
+            ):
                 out = flash_decode_int8(
                     q, kv, _post_update_lengths(cache), scale=self.scaling
                 )

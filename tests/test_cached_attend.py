@@ -67,7 +67,8 @@ def _spy_kernels(monkeypatch):
         return wrapped
 
     monkeypatch.setattr(fd, "flash_decode_viable",
-                        lambda S, block_k=128: S % min(block_k, S) == 0)
+                        lambda S, block_k=128, kind="fp":
+                        S % min(block_k, S) == 0)
     monkeypatch.setattr(fd, "flash_decode", spy(orig_fp))
     monkeypatch.setattr(fd, "flash_decode_int8", spy(orig_int8))
     return calls

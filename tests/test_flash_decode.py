@@ -133,7 +133,8 @@ def test_opt_decode_routes_through_flash_decode(monkeypatch, quantized):
         return wrapped
 
     monkeypatch.setattr(fd, "flash_decode_viable",
-                        lambda S, block_k=128: S % min(block_k, S) == 0)
+                        lambda S, block_k=128, kind="fp":
+                        S % min(block_k, S) == 0)
     monkeypatch.setattr(fd, "flash_decode", spy(orig_fp))
     monkeypatch.setattr(fd, "flash_decode_int8", spy(orig_int8))
     got = _decode_logits(model, ids, 4, quantized)

@@ -80,9 +80,61 @@ def masked_sdpa_sminor(q, kT, vT, lengths, scale):
     return jnp.einsum("bhls,bhsd->bhld", w, v.astype(jnp.float32)).astype(q.dtype)
 
 
+def sweep(which: str, Ss):
+    """Kernel-tuning sweep: (block_k, block_h) grid for the pipelined
+    decode kernels (fp + int8, s_minor), marginal us per call.  Drives the
+    FLASH_DECODE_BLOCK_H default and _pick_block_k's max_block."""
+    from dmx_compressor_tpu.ops import flash_decode as fd
+    from dmx_compressor_tpu.ops.kv_cache import QuantKV, QuantizedKVCache
+
+    B = 8
+    H, Hkv, D = {"125m": (12, 12, 64), "1.3b": (32, 32, 64),
+                 "gqa": (32, 4, 64)}[which]
+    rep = H // Hkv
+    scale = D**-0.5
+    rng = np.random.default_rng(0)
+    for S in Ss:
+        q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+        kT = jnp.asarray(rng.standard_normal((B, Hkv, D, S)) * 0.3, jnp.float32)
+        vT = jnp.asarray(rng.standard_normal((B, Hkv, D, S)) * 0.3, jnp.float32)
+        lengths = jnp.full((B,), S - 1, jnp.int32)
+        kq, ks = QuantizedKVCache._quantize(kT.swapaxes(-1, -2))
+        vq, vs = QuantizedKVCache._quantize(vT.swapaxes(-1, -2))
+        kqT, vqT = kq.swapaxes(-1, -2), vq.swapaxes(-1, -2)
+        ksr = ks.astype(jnp.float32).reshape(B, Hkv, 1, S)
+        vsr = vs.astype(jnp.float32).reshape(B, Hkv, 1, S)
+        fp_mb = 2 * B * Hkv * S * D * 4 / 1e6
+        i8_mb = 2 * B * Hkv * S * (D + 4) / 1e6
+        print(f"--- {which} S={S}: SoL fp32 {fp_mb / 819e3 * 1e6:.1f} us, "
+              f"int8 {i8_mb / 819e3 * 1e6:.1f} us", flush=True)
+        for bk in (128, 256, 512, 1024):
+            if S % bk:
+                continue
+            for bh in (1, 2, 4, 8, 16):
+                if Hkv % bh:
+                    continue
+                timeit(
+                    f"  fp   bk={bk:4d} bh={bh:2d}",
+                    lambda c, k_, v_, le, bk=bk, bh=bh: fd._decode_pallas_T(
+                        c, k_, v_, le, scale, bk, rep, block_h=bh),
+                    q, kT, vT, lengths)
+                timeit(
+                    f"  int8 bk={bk:4d} bh={bh:2d}",
+                    lambda c, kq_, vq_, ks_, vs_, le, bk=bk, bh=bh:
+                    fd._decode_int8_pallas_T(
+                        c, kq_, vq_, ks_, vs_, le, scale, bk, rep,
+                        block_h=bh),
+                    q, kqT, vqT, ksr, vsr, lengths)
+
+
 def main():
     from dmx_compressor_tpu.ops import flash_decode as fd
     from dmx_compressor_tpu.ops.kv_cache import QuantKV, QuantizedKVCache, quantized_sdpa
+
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        which = sys.argv[2] if len(sys.argv) > 2 else "125m"
+        sweep(which, [int(a) for a in sys.argv[3:]] or [1024, 2048])
+        return
 
     which = sys.argv[1] if len(sys.argv) > 1 else "125m"
     Ss = [int(a) for a in sys.argv[2:]] or [256, 512, 1024, 2048]
