@@ -50,6 +50,7 @@ def make_model(name: str, cfg):
     from dmx_compressor_tpu.models.gemma import GemmaForCausalLM
     from dmx_compressor_tpu.models.gpt2 import GPT2LMHeadModel
     from dmx_compressor_tpu.models.llama import LlamaForCausalLM
+    from dmx_compressor_tpu.models.mistral import MistralForCausalLM
     from dmx_compressor_tpu.models.opt import OPTForCausalLM
     from dmx_compressor_tpu.models.qwen3 import Qwen3ForCausalLM
 
@@ -58,6 +59,7 @@ def make_model(name: str, cfg):
         "gemma": GemmaForCausalLM,
         "qwen3": Qwen3ForCausalLM,
         "gpt2": GPT2LMHeadModel,
+        "mistral": MistralForCausalLM,
     }.get(name.split("-")[0], OPTForCausalLM)
     return cls(cfg, rngs=nnx.Rngs(0))
 
@@ -97,6 +99,19 @@ def model_config(name: str):
         from dmx_compressor_tpu.models.gpt2 import GPT2Config
 
         return GPT2Config()  # GPT-2 124M: 12x768, 12 heads, tied 50k vocab
+    if name == "mistral-1b":
+        # Mistral architecture at ~1B (no canonical small checkpoint shape;
+        # 7B's 32/8 GQA ratio and SiLU-gated MLP, sliding_window=128 so the
+        # band is ACTIVE inside the short bench's 192-token window — the
+        # fused SDPA's additive banded-mask path is what's being measured)
+        from dmx_compressor_tpu.models.mistral import MistralConfig
+
+        return MistralConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=16, num_attention_heads=32,
+            num_key_value_heads=8, max_position_embeddings=4096,
+            sliding_window=128,
+        )
     return {
         "opt-125m": OPTConfig.opt_125m,
         "opt-350m": OPTConfig.opt_350m,

@@ -15,7 +15,10 @@ intercepted primitives.
 
 ``sites`` lists every intercepted primitive (path-like ids in call order),
 so configs can address individual sites; per-site overrides replace the
-default rule.  The transform is jit-compatible (the interpreter runs at
+default rule.  Code annotated with ``jax.named_scope`` (or flax's
+per-module scopes) gets scope-qualified ids ("encoder/attn/dot_0") — the
+analogue of the reference's fx scope recording (QuantTracer's module_path,
+fx/tracer.py:27-173); bare trace-order ids remain valid override keys.  The transform is jit-compatible (the interpreter runs at
 trace time) and composes with the module-level substitution — use it for
 third-party jax functions that cannot be rewritten against the zoo.
 
@@ -121,6 +124,35 @@ def _rule_casts(rule: "SiteRule", kind: str):
     }
 
 
+def _eqn_scope(eqn) -> str:
+    """The equation's ``jax.named_scope`` stack ("layer0/attn" style) — the
+    TPU-native analogue of the reference's fx scope recording (the reference
+    QuantTracer records ``module_path`` per captured op so configs address
+    sites by model scope, fx/tracer.py:27-173).  Code that annotates scopes
+    (``jax.named_scope`` / flax's per-module scopes) gets scope-qualified
+    site ids; unannotated code keeps bare trace-order ids."""
+    si = getattr(eqn, "source_info", None)
+    ns = getattr(si, "name_stack", None)
+    return str(ns) if ns is not None else ""
+
+
+def _site_id(kind: str, i: int, scope: str) -> str:
+    return f"{scope}/{kind}_{i}" if scope else f"{kind}_{i}"
+
+
+def _sid_kind(sid: str) -> str:
+    """Primitive kind from a (possibly scope-qualified) site id."""
+    return sid.rsplit("_", 1)[0].rsplit("/", 1)[-1]
+
+
+def _site_lookup(mapping, sid: str, kind: str, i: int):
+    """Per-site table lookup: scope-qualified id first, bare id fallback
+    (overrides written before scopes existed keep working)."""
+    if sid in mapping:
+        return mapping[sid]
+    return mapping.get(f"{kind}_{i}")
+
+
 def _is_site(eqn, kind) -> bool:
     """add/mul only count as sites when both operands are non-scalar tensors
     (the reference substitutes ``+``/``*`` only when both args are Tensors,
@@ -160,7 +192,7 @@ class QuantizedFunction:
         for sid in self.sites:
             if sid in self.site_casts:
                 continue
-            kind = sid.rsplit("_", 1)[0]
+            kind = _sid_kind(sid)
             rule = self.rules.overrides.get(sid, getattr(self.rules, kind))
             if rule is not None:
                 self.site_casts[sid] = _rule_casts(rule, kind)
@@ -178,7 +210,7 @@ class QuantizedFunction:
             raise ValueError(f"unknown sites: {sorted(unknown)}")
         self.rules.overrides.update(overrides)
         for sid, rule in overrides.items():
-            self.site_casts[sid] = _rule_casts(rule, sid.rsplit("_", 1)[0])
+            self.site_casts[sid] = _rule_casts(rule, _sid_kind(sid))
         self._rebuild()
         return self
 
@@ -215,7 +247,9 @@ def intercept(
 
     ``quantized_fn`` re-evaluates ``fn``'s jaxpr with the rules' casts
     wrapped around every intercepted primitive; ``site_ids`` names the
-    sites (``"<prim>_<index>"`` in trace order) for per-site overrides.
+    sites (``"<prim>_<index>"`` in trace order, prefixed with the
+    ``jax.named_scope`` stack when the traced code annotates one) for
+    per-site overrides.
     Shapes are fixed by ``example_args`` (retrace per shape, like any
     jaxpr-level tool).  ``site_casts`` (site id -> {"input", "multiplier",
     "output"} CastTo modules) routes matching sites through STATEFUL
@@ -254,7 +288,7 @@ def intercept(
             ):
                 i = counters.get(kind, 0)
                 counters[kind] = i + 1
-                sites.append(f"{kind}_{i}")
+                sites.append(_site_id(kind, i, _eqn_scope(eqn)))
 
     sites: List[str] = []
     _walk_sites(closed.jaxpr, {}, sites)
@@ -291,9 +325,9 @@ def intercept(
             if rule is not None:
                 i = counts.get(kind, 0)
                 counts[kind] = i + 1
-                sid = f"{kind}_{i}"
-                rule = rules.overrides.get(sid, rule)
-                casts = site_casts.get(sid)
+                sid = _site_id(kind, i, _eqn_scope(eqn))
+                rule = _site_lookup(rules.overrides, sid, kind, i) or rule
+                casts = _site_lookup(site_casts, sid, kind, i)
                 if casts is not None:
                     a = _apply_cast_module(casts["input"], invals[0])
                     b = (

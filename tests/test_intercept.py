@@ -284,3 +284,57 @@ class TestSiteCalibration:
         sids = {t[0] for t in triples}
         assert sids == {"dot_0", "dot_1", "add_0"}
         assert {t[1] for t in triples} == {"input", "multiplier", "output"}
+
+
+class TestScopeRecording:
+    """Scope-qualified site ids: code annotated with jax.named_scope gets
+    the reference's fx scope-recording semantics (module-path-addressable
+    cast sites, reference fx/tracer.py:27-173) on the jaxpr interceptor."""
+
+    @staticmethod
+    def _scoped(x, w1, w2):
+        with jax.named_scope("encoder"):
+            with jax.named_scope("attn"):
+                h = x @ w1
+            h = jax.nn.relu(h)
+        with jax.named_scope("head"):
+            return h @ w2 + x
+
+    def test_sites_carry_scopes(self):
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        _, sites = intercept(self._scoped, (x, w1, w2))
+        assert sites == ["encoder/attn/dot_0", "head/dot_1", "head/add_0"]
+
+    def test_override_by_scoped_id(self):
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        exact = self._scoped(x, w1, w2)
+        rules = InterceptRules.basic()
+        rules.overrides = {
+            "encoder/attn/dot_0": SiteRule(),
+            "head/dot_1": SiteRule(),
+            "head/add_0": SiteRule(),
+        }
+        qfn, _ = intercept(self._scoped, (x, w1, w2), rules=rules)
+        assert jnp.array_equal(qfn(x, w1, w2), exact)
+
+    def test_bare_id_fallback_still_addresses_scoped_sites(self):
+        # overrides written against bare trace-order ids keep working
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        exact = self._scoped(x, w1, w2)
+        rules = InterceptRules.basic()
+        rules.overrides = {
+            "dot_0": SiteRule(), "dot_1": SiteRule(), "add_0": SiteRule(),
+        }
+        qfn, _ = intercept(self._scoped, (x, w1, w2), rules=rules)
+        assert jnp.array_equal(qfn(x, w1, w2), exact)
+
+    def test_quantized_function_scoped_quantizers(self):
+        from dmx_compressor_tpu.transform.intercept import QuantizedFunction
+
+        x, w1, w2 = _rand((4, 64), 0), _rand((64, 64), 1), _rand((64, 64), 2)
+        qf = QuantizedFunction(self._scoped, (x, w1, w2))
+        sids = {t[0] for t in qf.named_quantizers()}
+        assert sids == {"encoder/attn/dot_0", "head/dot_1", "head/add_0"}
+        # configure by scoped id: resets that site to SAME
+        qf.configure({"encoder/attn/dot_0": SiteRule()})
+        assert qf(x, w1, w2) is not None
