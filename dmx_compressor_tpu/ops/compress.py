@@ -79,6 +79,18 @@ class PackedBFPLinear(DmxModule):
             if use_bf16
             else None
         )
+        if use_bf16:
+            # EITHER the bf16 dequant cache OR the int8 payload lives on the
+            # module, never both: keeping both doubled weight HBM residency
+            # and OOM'd gemma-2b (2.5B params) at build time.  All matmuls
+            # (decode AND prefill) ride the kept copy; re-deriving the
+            # payload from the bf16 cache is lossless (bfp_pack is
+            # idempotent on already-quantized values — the block amax of a
+            # quantized block keeps its exponent: grid values are clipped
+            # below 2^(e+1) and nearest-rounding never crosses down past
+            # 2^e), which is how merge_parallel_linears re-packs.
+            self.weight_mantissa = None
+            self.weight_exponent = None
         self.bias = nnx.Param(bias) if bias is not None else None
         # inherit the live input/output/bias casts so activation quantization
         # and calibration state carry over
@@ -89,6 +101,10 @@ class PackedBFPLinear(DmxModule):
 
     @property
     def packed(self) -> PackedBFP:
+        assert self.weight_mantissa is not None, (
+            "int8 payload was dropped in favor of the bf16 dequant cache; "
+            "matmuls must route through weight_bf16"
+        )
         return PackedBFP(
             self.weight_mantissa.value,
             self.weight_exponent.value,
@@ -171,15 +187,11 @@ class PackedBFPLinear(DmxModule):
         return out
 
     def _forward(self, _input):
-        rows = 1
-        for d in _input.shape[:-1]:
-            rows *= d
-        if self.weight_bf16 is not None and rows < 128:
-            # decode path: bf16 weights feed the MXU directly (exact for
-            # quantized operands), half the fp32 HBM traffic, zero kernel
-            # overhead at tiny M
-            # both operands are exact in bf16 (quantized values have <= 8
-            # mantissa bits), so a single bf16 MXU pass is lossless
+        if self.weight_bf16 is not None:
+            # bf16 weights feed the MXU directly (exact for quantized
+            # operands: <= 8 mantissa bits), half the fp32 HBM traffic, zero
+            # kernel overhead at tiny M; prefill (large M) is compute-bound,
+            # where the bf16 MXU pass also beats the f32 dequant kernel
             y = jnp.matmul(
                 _input.astype(jnp.bfloat16),
                 self.weight_bf16.value.T,
@@ -358,12 +370,23 @@ def merge_parallel_linears(mods):
             m.smoothquant.dynamic or m.smoothquant.input_maxabs_exists
         ):
             return None
-    packed = PackedBFP(
-        jnp.concatenate([m.weight_mantissa.value for m in mods], axis=0),
-        jnp.concatenate([m.weight_exponent.value for m in mods], axis=0),
-        mods[0].precision,
-        mods[0].block_size,
-    )
+    bf16 = mods[0].weight_bf16 is not None  # sig() proved all agree
+    if bf16:
+        # children carry only the bf16 dequant cache; re-derive the payload
+        # losslessly (bfp_pack is idempotent on already-quantized values —
+        # see PackedBFPLinear.__init__) purely to ride the normal
+        # constructor, which re-unpacks it; both transients are build-time
+        w_cat = jnp.concatenate(
+            [m.weight_bf16.value for m in mods], axis=0
+        ).astype(jnp.float32)
+        packed = bfp_pack(w_cat, mods[0].precision, mods[0].block_size)
+    else:
+        packed = PackedBFP(
+            jnp.concatenate([m.weight_mantissa.value for m in mods], axis=0),
+            jnp.concatenate([m.weight_exponent.value for m in mods], axis=0),
+            mods[0].precision,
+            mods[0].block_size,
+        )
     bias = (
         jnp.concatenate([m.bias.value for m in mods])
         if mods[0].bias is not None
@@ -374,11 +397,16 @@ def merge_parallel_linears(mods):
     # exactly the sharing we want (identical configs checked above)
     merged = PackedBFPLinear(packed, bias, src=mods[0])
     merged.out_features = sum(m.out_features for m in mods)
-    merged.weight_bf16 = (
-        nnx.Variable(jnp.concatenate([m.weight_bf16.value for m in mods], axis=0))
-        if mods[0].weight_bf16 is not None
-        else None
-    )
+    # reconcile storage with the children's (the constructor's size policy
+    # saw mods[0]'s dims): exactly ONE of bf16 cache / int8 payload lives
+    if bf16:
+        merged.weight_bf16 = nnx.Variable(w_cat.astype(jnp.bfloat16))
+        merged.weight_mantissa = None
+        merged.weight_exponent = None
+    else:
+        merged.weight_bf16 = None
+        merged.weight_mantissa = nnx.Variable(packed.mantissa)
+        merged.weight_exponent = nnx.Variable(packed.exponent)
     return merged
 
 
@@ -401,10 +429,17 @@ def set_inference_mode(enabled: bool = True) -> None:
     DmxModule.inference_mode = enabled
 
 
-def compress_for_inference(dm) -> int:
+def compress_for_inference(dm, keep_originals: bool = False) -> int:
     """Replace BFP-weight Linears in a DmxModel with PackedBFPLinear.
 
     Returns the number of modules converted.
+
+    After composite modules fuse their children (merged qkv / gate-up), the
+    dead original projections stay attached for config/introspection but
+    their weight arrays are RELEASED — keeping them doubled weight HBM
+    residency and OOM'd gemma-2b (2.5B params) at build.  Pass
+    ``keep_originals=True`` to keep them runnable (tests that defuse back
+    to the modular path).
     """
     from ..transform.substitute import _items, _set, _is_module_container
 
@@ -458,4 +493,53 @@ def compress_for_inference(dm) -> int:
                 walk_fuse(value)
 
     walk_fuse(model)
+    if not keep_originals:
+        release_dead_originals(model)
     return count
+
+
+def release_dead_originals(model) -> int:
+    """Free the weight arrays of projections superseded by a merged module
+    (``qkv_merged`` / ``gateup_merged``).  The modules stay attached — their
+    cast configs and dims remain introspectable — but calling them raises.
+    Returns the number of modules released."""
+    from ..transform.substitute import _is_module_container, _items
+
+    released = 0
+    seen = set()
+
+    def strip(m):
+        nonlocal released
+        if isinstance(m, PackedBFPLinear):
+            if m.weight_bf16 is None and m.weight_mantissa is None:
+                return  # already released
+            m.weight_bf16 = None
+            m.weight_mantissa = None
+            m.weight_exponent = None
+            released += 1
+        elif isinstance(m, PackedSBFPLinear):
+            if m.weight_bf16 is None and m.weight_nibbles is None:
+                return
+            m.weight_bf16 = None
+            m.weight_nibbles = None
+            m.weight_block_scale = None
+            released += 1
+
+    def walk(container):
+        if id(container) in seen:
+            return
+        seen.add(id(container))
+        if getattr(container, "qkv_merged", None) is not None:
+            for name in ("q_proj", "k_proj", "v_proj"):
+                strip(getattr(container, name, None))
+        if getattr(container, "gateup_merged", None) is not None:
+            for name in ("gate_proj", "up_proj"):
+                strip(getattr(container, name, None))
+        for key, value in _items(container):
+            if isinstance(key, str) and key.startswith("_"):
+                continue
+            if _is_module_container(value) and not isinstance(value, nnx.Variable):
+                walk(value)
+
+    walk(model)
+    return released

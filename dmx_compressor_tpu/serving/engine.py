@@ -176,6 +176,36 @@ class ContinuousBatchingEngine:
         )
         return rid
 
+    # ------------------------------------------------------------ warmup
+
+    def warmup(self, burst: int = 1) -> None:
+        """Compile every dispatch shape the serving loop will hit — the
+        per-bucket prefill (every chunk offset plus the finalize epilogue
+        when chunked prefill is on) and the ``burst``-decode — by running
+        one synthetic full-bucket request per prompt bucket end to end,
+        then discarding the results.
+
+        On tunneled TPUs one remote compile costs minutes; without an
+        explicit warmup the first requests pay it inside the serving loop
+        (the round-4 chunked-prefill serving runs measured p99 step
+        latencies of 369 s — all compilation).  Sampled decode
+        (temperature > 0) uses a separate jit variant that still compiles
+        on first use; warm it by submitting a synthetic request with the
+        production temperature before serving.
+        """
+        for bucket in self.prompt_buckets:
+            self.submit(np.ones((bucket,), np.int32), max_new_tokens=2)
+            guard = 0
+            while (
+                self.queue
+                or self._prefilling
+                or any(s.active for s in self.slots)
+            ):
+                self.step(burst)
+                guard += 1
+                assert guard < 10_000, "warmup request failed to finish"
+        self.finished.clear()
+
     # ------------------------------------------------------------ prefill
 
     def _bucket_for(self, n: int) -> int:

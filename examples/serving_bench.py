@@ -80,12 +80,14 @@ def main():
         rng.integers(1, cfg.vocab_size, (prompt_len,)).astype(np.int32)
         for _ in range(n_requests)
     ]
+    # compile every dispatch shape (all chunk offsets + finalize + decode)
+    # BEFORE the timed loop: on tunneled TPUs one remote compile is minutes,
+    # and a production engine warms up at startup, not per request
+    eng.warmup(burst)
+
     for p in prompts[:slots]:
         eng.submit(p, max_new_tokens=gen_len)
     pending = list(prompts[slots:])
-
-    # warmup: compile prefill + decode (its tokens are excluded below)
-    eng.step(burst)
 
     def emitted():
         return sum(len(r.tokens) for r in eng.finished) + sum(

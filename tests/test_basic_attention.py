@@ -314,7 +314,7 @@ class TestOPTIntegration:
         model = OPTForCausalLM(cfg, rngs=nnx.Rngs(0))
         dm = DmxModel.from_raw(model)
         dm.to_basic_mode()
-        compress_for_inference(dm)
+        compress_for_inference(dm, keep_originals=True)
         attn = model.model.decoder.layers[0].self_attn
         assert getattr(attn, "qkv_merged", None) is not None
 

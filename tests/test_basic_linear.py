@@ -188,3 +188,91 @@ class TestPackedBFPLinearFusedPath:
         lin, plin = self._make()
         x = _rand(23, (512, 128))
         assert not plin._fusable(x)
+
+
+class TestPackedStorageSingleCopy:
+    """A PackedBFPLinear holds EITHER the bf16 dequant cache OR the int8
+    payload, never both (keeping both doubled weight HBM residency and
+    OOM'd gemma-2b at build — round-4 fix), and compress_for_inference
+    releases the dead originals superseded by merged projections."""
+
+    def test_bf16_cached_module_has_no_payload(self):
+        from dmx_compressor_tpu.nn import modules as dmxnn
+        from dmx_compressor_tpu.ops.compress import PackedBFPLinear
+
+        lin = dmxnn.Linear(128, 96, bias=True, rngs=nnx.Rngs(0))
+        lin.input_casts.set_format([BFP16_64])
+        lin.weight_cast.set_format(BFP16_64)
+        lin.output_casts.set_format([FLOAT16])
+        plin = PackedBFPLinear.from_linear(lin)
+        assert plin.weight_bf16 is not None
+        assert plin.weight_mantissa is None and plin.weight_exponent is None
+        # prefill-sized input rides the bf16 MXU path (no payload needed)
+        y = plin(_rand(31, (512, 128)))
+        assert y.shape == (512, 96)
+
+    def test_merge_repacks_losslessly_from_bf16(self):
+        from dmx_compressor_tpu.nn import modules as dmxnn
+        from dmx_compressor_tpu.ops.compress import (
+            PackedBFPLinear,
+            merge_parallel_linears,
+        )
+
+        mods = []
+        for i in range(3):
+            lin = dmxnn.Linear(128, 64, bias=False, rngs=nnx.Rngs(i))
+            lin.input_casts.set_format([BFP16_64])
+            lin.weight_cast.set_format(BFP16_64)
+            lin.output_casts.set_format([FLOAT16])
+            mods.append(PackedBFPLinear.from_linear(lin))
+        merged = merge_parallel_linears(mods)
+        assert merged is not None and merged.out_features == 192
+        assert merged.weight_mantissa is None  # single-copy invariant holds
+        x = _rand(32, (4, 128))
+        got = merged(x)
+        want = jnp.concatenate([m(x) for m in mods], axis=-1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_compress_releases_dead_originals(self):
+        from dmx_compressor_tpu.modeling.model import DmxModel
+        from dmx_compressor_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+        from dmx_compressor_tpu.ops.compress import compress_for_inference
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=1, num_attention_heads=2,
+            num_key_value_heads=1, max_position_embeddings=64,
+        )
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        dm = DmxModel.from_raw(model)
+        dm.to_basic_mode()
+        compress_for_inference(dm)
+        attn = model.model.layers[0].self_attn
+        mlp = model.model.layers[0].mlp
+        assert attn.qkv_merged is not None and mlp.gateup_merged is not None
+        for dead in (attn.q_proj, attn.k_proj, attn.v_proj,
+                     mlp.gate_proj, mlp.up_proj):
+            assert dead.weight_bf16 is None
+            assert dead.weight_mantissa is None
+        # live modules still run end to end
+        ids = jnp.zeros((1, 4), jnp.int32)
+        assert model(ids).shape == (1, 4, 256)
+
+    def test_keep_originals_stays_runnable(self):
+        from dmx_compressor_tpu.modeling.model import DmxModel
+        from dmx_compressor_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+        from dmx_compressor_tpu.ops.compress import compress_for_inference
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=1, num_attention_heads=2,
+            num_key_value_heads=1, max_position_embeddings=64,
+        )
+        model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+        dm = DmxModel.from_raw(model)
+        dm.to_basic_mode()
+        compress_for_inference(dm, keep_originals=True)
+        attn = model.model.layers[0].self_attn
+        x = _rand(33, (2, 1, 128))
+        q, k, v = attn._project_qkv(x)
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(attn.q_proj(x)))

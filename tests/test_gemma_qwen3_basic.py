@@ -63,7 +63,7 @@ def _basic_model(family, defuse=False, head_dim=64):
         model = Qwen3ForCausalLM(cfg, rngs=nnx.Rngs(0))
     dm = DmxModel.from_raw(model)
     dm.to_basic_mode()
-    compress_for_inference(dm)
+    compress_for_inference(dm, keep_originals=defuse)
     if defuse:
         # drop the merged projections: the layer plan returns None and
         # every op runs through its modular DmxModule pipeline
@@ -181,7 +181,7 @@ class TestQwen3FusedBasicDecode:
             model = Qwen3ForCausalLM(cfg, rngs=nnx.Rngs(0))
             dm = DmxModel.from_raw(model)
             dm.to_basic_mode()
-            compress_for_inference(dm)
+            compress_for_inference(dm, keep_originals=defuse)
             if defuse:
                 for layer in model.model.layers:
                     del layer.self_attn.qkv_merged

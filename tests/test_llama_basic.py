@@ -41,7 +41,7 @@ def _basic_model(defuse: bool = False):
     model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
     dm = DmxModel.from_raw(model)
     dm.to_basic_mode()
-    compress_for_inference(dm)
+    compress_for_inference(dm, keep_originals=defuse)
     if defuse:
         # drop the merged projections: basic_llama_layer_plan returns None
         # and every op runs through its modular DmxModule pipeline
@@ -111,7 +111,7 @@ class TestLlamaFusedBasicDecode:
         b = LlamaForCausalLM(cfg, rngs=nnx.Rngs(1))
         dmb = DmxModel.from_raw(b)
         dmb.to_basic_mode()
-        compress_for_inference(dmb)
+        compress_for_inference(dmb, keep_originals=True)
         for layer in b.model.layers:
             del layer.self_attn.qkv_merged
             del layer.mlp.gateup_merged

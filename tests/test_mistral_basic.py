@@ -43,7 +43,7 @@ def _basic_model(defuse=False, sliding_window=16):
     model = MistralForCausalLM(cfg, rngs=nnx.Rngs(0))
     dm = DmxModel.from_raw(model)
     dm.to_basic_mode()
-    compress_for_inference(dm)
+    compress_for_inference(dm, keep_originals=defuse)
     if defuse:
         for layer in model.model.layers:
             del layer.self_attn.qkv_merged

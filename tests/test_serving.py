@@ -507,3 +507,23 @@ def test_seq2seq_rejects_prefill_chunk():
     model = WhisperForConditionalGeneration(cfg, rngs=nnx.Rngs(0))
     with pytest.raises(AssertionError):
         Seq2SeqBatchingEngine(model, prefill_chunk=4)
+
+
+def test_warmup_compiles_then_results_unchanged():
+    """warmup() dry-runs one synthetic request per bucket (chunked prefill
+    offsets included), leaves no residue, and subsequent requests produce
+    the same tokens as a cold engine."""
+    model = make_model()
+    ps = prompts(7, 11)
+    eng = ContinuousBatchingEngine(model, max_slots=2, max_len=48,
+                                   prompt_buckets=(8, 16), prefill_chunk=4)
+    eng.warmup(burst=2)
+    assert not eng.finished and not eng.queue
+    assert all(not s.active for s in eng.slots)
+    # chunked-prefill shapes are compiled: a bucket-16 prompt walks chunk
+    # offsets 4/8/12 during warmup
+    assert eng._chunk_fns, "warmup should have populated the chunk fns"
+    rids = [eng.submit(p, max_new_tokens=4) for p in ps]
+    results = {r.request_id: r for r in eng.run()}
+    for rid, p in zip(rids, ps):
+        assert results[rid].tokens == ref_generate(model, p, 4)
