@@ -42,7 +42,7 @@ class BasicSDPAParams(NamedTuple):
     """Static BASIC-shape parameters extracted from a compound SDPA module."""
 
     wl: int  # BFP mantissa bits of the actmatmul input casts
-    block: int  # BFP block size (must equal head_dim)
+    block: int  # BFP block size (must divide head_dim: 64 | 64/128/256)
     input_clamp: float  # softmax wrapper clamp
     max_adjust: float  # surrogate max offset
     kmax: int  # exp shift clamp
@@ -130,17 +130,13 @@ def basic_sdpa_decode(
 
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    # q cast: one block per row (block == head_dim), reference rebase-add
-    q_amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
-    qc = _bfp_cast_with_exponents(
-        qf, jnp.broadcast_to(_exponent_with_sentinel(q_amax), qf.shape), wl
-    )
+    # q cast: BFP blocks along head_dim (one block per row when
+    # block == head_dim, e.g. D 64; two when D 128 (Qwen3), four at 256
+    # (Gemma)) — exactly the modular actmatmul input cast (block_dim -1)
+    qc = cast_blocked_lastdim(qf, block, wl)
     # K cast along head_dim (the multiplier cast of q @ k.T blocks along
-    # -2 of k.T == rows of k): one block per cache row
-    k_amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
-    kc = _bfp_cast_with_exponents(
-        kf, jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape), wl
-    )
+    # -2 of k.T == rows of k), same blocking
+    kc = cast_blocked_lastdim(kf, block, wl)
     # QK^T: bf16 MXU (exact for <= 8 quantized mantissa bits), f32 accum;
     # query heads grouped per KV head (see _group_queries for the >= 8-row
     # layout rationale)
@@ -183,9 +179,12 @@ def basic_sdpa_decode(
     return _fp16_cast_f32(out)  # actmatmul output cast
 
 
-def cast_k_rows(k: Array, wl: int) -> Array:
-    """The BASIC k-cast: one BFP block per cache row (block == head_dim)."""
+def cast_k_rows(k: Array, wl: int, block: Optional[int] = None) -> Array:
+    """The BASIC k-cast: BFP blocks of ``block`` along head_dim (one block
+    per cache row when ``block`` is None or equals head_dim)."""
     kf = k.astype(jnp.float32)
+    if block is not None and block != kf.shape[-1]:
+        return cast_blocked_lastdim(kf, block, wl)
     k_amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
     return _bfp_cast_with_exponents(
         kf, jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape), wl
@@ -202,12 +201,21 @@ def cast_v_sblocks(v: Array, block: int, wl: int) -> Array:
     ).reshape(B, H, S, D)
 
 
-def cast_k_rows_sm(kT: Array, wl: int) -> Array:
-    """cast_k_rows on a sequence-minor [B, H, D, S] buffer: one BFP block
-    per cache position = amax over the D axis.  Value-identical to
-    ``cast_k_rows(kT.swapaxes(-1, -2)).swapaxes(-1, -2)`` without the
-    transpose (the cast is elementwise given the per-block amax)."""
+def cast_k_rows_sm(kT: Array, wl: int, block: Optional[int] = None) -> Array:
+    """cast_k_rows on a sequence-minor [B, H, D, S] buffer: BFP blocks of
+    ``block`` along the D axis (one block per cache position when ``block``
+    is None or equals D).  Value-identical to
+    ``cast_k_rows(kT.swapaxes(-1, -2), wl, block).swapaxes(-1, -2)``
+    without the transpose (the cast is elementwise given the per-block
+    amax)."""
     kf = kT.astype(jnp.float32)
+    B, H, D, S = kf.shape
+    if block is not None and block != D:
+        k5 = kf.reshape(B, H, D // block, block, S)
+        k_amax = jnp.max(jnp.abs(k5), axis=3, keepdims=True)
+        return _bfp_cast_with_exponents(
+            k5, jnp.broadcast_to(_exponent_with_sentinel(k_amax), k5.shape), wl
+        ).reshape(B, H, D, S)
     k_amax = jnp.max(jnp.abs(kf), axis=-2, keepdims=True)
     return _bfp_cast_with_exponents(
         kf, jnp.broadcast_to(_exponent_with_sentinel(k_amax), kf.shape), wl
@@ -267,26 +275,23 @@ def basic_sdpa_decode_split(
     mask_row = jnp.asarray(mask_row, jnp.float32).reshape(-1)[-(S0 + C):]
 
     qf = q.astype(jnp.float32)
-    q_amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
-    qc = _bfp_cast_with_exponents(
-        qf, jnp.broadcast_to(_exponent_with_sentinel(q_amax), qf.shape), wl
-    )
+    qc = cast_blocked_lastdim(qf, block, wl)  # BFP blocks along head_dim
     qg, rep, rows = _group_queries(qc, Hkv)
     qg = qg.astype(jnp.bfloat16)
 
     def seg_scores(k_seg, precast):
         if s_minor:
             kc = precast if precast is not None else cast_k_rows_sm(
-                k_seg, wl
+                k_seg, wl, block
             ).astype(jnp.bfloat16)
             S_seg = k_seg.shape[-1]
             return jnp.einsum(
                 "bgrd,bgds->bgrs", qg, kc,
                 preferred_element_type=jnp.float32,
             )[:, :, :rep].reshape(B, H, 1, S_seg)
-        kc = precast if precast is not None else cast_k_rows(k_seg, wl).astype(
-            jnp.bfloat16
-        )
+        kc = precast if precast is not None else cast_k_rows(
+            k_seg, wl, block
+        ).astype(jnp.bfloat16)
         S_seg = k_seg.shape[2]
         return jnp.einsum(
             "bgrd,bgsd->bgrs", qg, kc,
@@ -345,10 +350,11 @@ def basic_sdpa_shape(sdpa, head_dim: int, seq_len: int) -> Optional[BasicSDPAPar
     exact BASIC decode shape this kernel reproduces; None -> modular path.
 
     Checked surface (reference BASIC rule set, __init__.py config_rules):
-    actmatmul in BFP sym-nearest (block == head_dim for the first matmul's
-    operands, seq blocks for the second) / out FLOAT16; resadd/softmax io
-    FLOAT16; mul SAME; dropout off; SOFTMAX[vsimd] surrogate in
-    inference mode; sdpa-level casts SAME.
+    actmatmul in BFP sym-nearest (blocks along head_dim for the first
+    matmul's operands — block must divide head_dim: one block per row at
+    D 64, two at 128 (Qwen3), four at 256 (Gemma); seq blocks for the
+    second) / out FLOAT16; resadd/softmax io FLOAT16; mul SAME; dropout
+    off; SOFTMAX[vsimd] surrogate in inference mode; sdpa-level casts SAME.
     """
     from ..functional.approximate import NoApproximation
     from ..nn.core import DmxModule
@@ -391,7 +397,7 @@ def basic_sdpa_shape(sdpa, head_dim: int, seq_len: int) -> Optional[BasicSDPAPar
             ic.format == mc.format
             and ic.block_dim == -1
             and mc.block_dim == -2
-            and ic.format.block_size == head_dim
+            and head_dim % ic.format.block_size == 0
             and seq_len % ic.format.block_size == 0
             and isinstance(am.approximator.function, NoApproximation)
         ):

@@ -80,7 +80,7 @@ def prepare_split_decode(model, caches) -> None:
         ck = cast_k_rows_sm if cache.s_minor else cast_k_rows
         cv = cast_v_sblocks_sm if cache.s_minor else cast_v_sblocks
         cache.set_base_cast(
-            ck(cache.base_k.value, p.wl),
+            ck(cache.base_k.value, p.wl, p.block),
             cv(cache.base_v.value, p.block, p.wl),
             key=(p.wl, p.block),
         )

@@ -77,7 +77,13 @@ class TestShapeDetection:
 
     def test_head_dim_mismatch_not_matched(self):
         sdpa = make_basic_sdpa()
-        assert basic_sdpa_shape(sdpa, 16, 128) is None
+        assert basic_sdpa_shape(sdpa, 16, 128) is None  # 64 does not divide 16
+
+    def test_multiblock_head_dim_matched(self):
+        # block 64 divides head_dim 128/256 (Qwen3/Gemma): fused SDPA engages
+        sdpa = make_basic_sdpa()
+        assert basic_sdpa_shape(sdpa, 128, 128) is not None
+        assert basic_sdpa_shape(sdpa, 256, 128) is not None
 
     def test_unaligned_seq_not_matched(self):
         sdpa = make_basic_sdpa()
@@ -97,12 +103,13 @@ class TestShapeDetection:
 class TestDecodeParity:
     @pytest.mark.parametrize("seed", [0, 1])
     @pytest.mark.parametrize("S", [64, 192])
-    def test_fused_matches_modular(self, seed, S):
+    @pytest.mark.parametrize("D", [64, 128])  # 128: two BFP blocks per row
+    def test_fused_matches_modular(self, seed, S, D):
         sdpa = make_basic_sdpa()
-        q, k, v, mask = _qkvm(seed, S=S)
-        scale = 64.0**-0.5
+        q, k, v, mask = _qkvm(seed, S=S, D=D)
+        scale = float(D) ** -0.5
         ref = sdpa(q, k, v, attn_mask=mask, scale=scale)
-        p = basic_sdpa_shape(sdpa, 64, S)
+        p = basic_sdpa_shape(sdpa, D, S)
         assert p is not None
         out = basic_sdpa_decode(q, k, v, mask, scale=scale, params=p,
                                 interpret=True)
@@ -138,6 +145,7 @@ class TestSplitCacheParity:
         mask = jnp.where(jnp.arange(S0 + C) < S0 + 7, 0.0, -1e4
                          ).astype(jnp.float32)[None, :]
         p = basic_sdpa_shape(sdpa, 64, S0 + C)
+        assert p is not None
         scale = 0.125
         mono = basic_sdpa_decode(q, k, v, mask, scale=scale, params=p)
         split = basic_sdpa_decode_split(

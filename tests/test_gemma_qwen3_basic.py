@@ -91,7 +91,7 @@ class TestGemmaFusedBasicDecode:
         # norms and GELU would be executed with Llama numerics
         assert basic_llama_layer_plan(layer) is None
 
-    @pytest.mark.parametrize("head_dim", [64, 32])
+    @pytest.mark.parametrize("head_dim", [64, 32, 128, 256])
     def test_fused_decode_matches_modular(self, head_dim):
         cfg, fused = _basic_model("gemma", head_dim=head_dim)
         _, modular = _basic_model("gemma", defuse=True, head_dim=head_dim)
@@ -111,9 +111,12 @@ class TestGemmaFusedBasicDecode:
             np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4
         )
 
-    def test_fused_split_decode_matches_modular(self):
-        cfg, fused = _basic_model("gemma")
-        _, modular = _basic_model("gemma", defuse=True)
+    @pytest.mark.parametrize("head_dim", [64, 256])
+    def test_fused_split_decode_matches_modular(self, head_dim):
+        # 256 = Gemma's real head_dim: 4 BFP blocks per head row ride the
+        # split-cache fused SDPA (incl. the precomputed base casts)
+        cfg, fused = _basic_model("gemma", head_dim=head_dim)
+        _, modular = _basic_model("gemma", defuse=True, head_dim=head_dim)
 
         B, P = 2, 64
         ids = jax.random.randint(jax.random.key(5), (B, P), 0, cfg.vocab_size)
@@ -151,7 +154,7 @@ class TestQwen3FusedBasicDecode:
         # dispatches — asserted by the parity tests below.
         assert basic_llama_layer_plan(layer) is not None
 
-    @pytest.mark.parametrize("head_dim", [64, 32])
+    @pytest.mark.parametrize("head_dim", [64, 32, 128, 256])
     def test_fused_decode_matches_modular(self, head_dim):
         cfg, fused = _basic_model("qwen3", head_dim=head_dim)
         _, modular = _basic_model("qwen3", defuse=True, head_dim=head_dim)
