@@ -121,6 +121,35 @@ def model_config(name: str):
 
 def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
           quantized_kv: bool = False, name: str = "opt"):
+    import contextlib
+
+    from dmx_compressor_tpu.modeling.model import DmxModel
+
+    # Build + quantize HOST-SIDE, then ship only the compact inference
+    # state to the accelerator: the fp32 init / substitution / packing
+    # transients of a multi-GB model never touch device HBM (gemma-2b's
+    # 10 GB fp32 build OOM'd the 15.7 GB chip), and the eager build makes
+    # no per-op tunnel round-trips.
+    try:
+        host = jax.devices("cpu")[0]
+        accel = jax.devices()[0]
+    except RuntimeError:
+        host = accel = jax.devices()[0]
+    build_ctx = (
+        jax.default_device(host) if accel.platform != "cpu"
+        else contextlib.nullcontext()
+    )
+    with build_ctx:
+        model, dm = _build_host(mode, cfg, name)
+    if accel.platform != "cpu":
+        state_h = nnx.state(model)
+        nnx.update(model, jax.device_put(state_h, accel))
+    return _finish_build(
+        model, mode, cfg, prompt_len, gen_len, batch, quantized_kv
+    )
+
+
+def _build_host(mode: str, cfg, name: str):
     from dmx_compressor_tpu.modeling.model import DmxModel
 
     model = make_model(name, cfg)
@@ -146,10 +175,6 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
         )
         compress_for_inference(dm)
         set_inference_mode(True)
-        caches = model.init_cache(
-            batch, -(-(prompt_len + gen_len - 1) // 128) * 128,
-            quantized=quantized_kv,
-        )
     elif mode in ("basic", "weights"):
         dm.to_basic_mode()
         from dmx_compressor_tpu.functional.approximate import NoApproximation
@@ -167,6 +192,28 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
                 m.approximator.function = NoApproximation()
         compress_for_inference(dm)
         set_inference_mode(True)  # surrogate-only approximations (same values)
+    else:
+        dm.to_baseline_mode()
+    return model, dm
+
+
+def _finish_build(model, mode, cfg, prompt_len, gen_len, batch, quantized_kv):
+    """Cache creation (on the accelerator) + the jitted prefill/decode
+    closures.
+
+    Weights are READ-ONLY jit arguments; only the cache state flows through
+    jit outputs and the scan carry.  Buffer donation does NOT alias on this
+    tunneled platform (measured: a donated full-state prefill held both the
+    5.45 GB input and output states live — tools/diag_gemma_mem.py), so a
+    full-state output would copy every weight per dispatch and OOM
+    multi-GB models; the split also keeps the scan carry down to the
+    mutated cache bytes."""
+    if mode == "sbfp":
+        caches = model.init_cache(
+            batch, -(-(prompt_len + gen_len - 1) // 128) * 128,
+            quantized=quantized_kv,
+        )
+    elif mode in ("basic", "weights"):
         # prompt_len + gen_len - 1 slots are written (prefill + gen_len-1
         # decode steps).  Capacity rounds up to a 128 multiple so the
         # flash-decode kernels engage (S % 128 == 0 lane tiling) —
@@ -189,12 +236,12 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
             split_base_len=prompt_len if mode == "basic" else None,
         )
     else:
-        dm.to_baseline_mode()
         caches = model.init_cache(
             batch, -(-(prompt_len + gen_len - 1) // 128) * 128,
             quantized=quantized_kv,
         )
-    graphdef, state = nnx.split((model, caches))
+    gd_m, mstate = nnx.split(model)
+    gd_c, cstate = nnx.split(caches)
 
     def greedy(logits_row):
         # argmax via two plain reduces: the tuple-reduce argmax lowering
@@ -205,47 +252,53 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
             jnp.where(logits_row == mx, idx, -1), axis=-1
         ).astype(jnp.int32)
 
-    def prefill(state, ids):
-        mod, cs = nnx.merge(graphdef, state)
+    def prefill(mstate, cstate, ids):
+        mod = nnx.merge(gd_m, mstate)
+        cs = nnx.merge(gd_c, cstate)
         logits = mod(ids, caches=cs, position_offset=0)
-        _, new_state = nnx.split((mod, cs))
-        return new_state, greedy(logits[:, -1])
+        _, c2 = nnx.split(cs)
+        return c2, greedy(logits[:, -1])
 
-    def prepare(state):
+    def prepare(cstate):
         """Eager (un-jitted) step between the prefill and decode dispatches:
-        applies the prefilled state back onto the live modules, precomputes
-        the invariant base-segment casts (SplitKVCache), and returns the
-        decode closure built from a FRESH graphdef so the new static
-        attributes reach the decode trace."""
+        applies the prefilled cache state back onto the live caches,
+        precomputes the invariant base-segment casts (SplitKVCache), and
+        returns the decode closure built from FRESH graphdefs so the new
+        static attributes reach the decode trace."""
         from dmx_compressor_tpu.ops.split_decode import prepare_split_decode
 
-        nnx.update((model, caches), state)
+        nnx.update(caches, cstate)
         prepare_split_decode(model, caches)  # family-independent; no-op
         # for non-split caches
-        graphdef2, state2 = nnx.split((model, caches))
+        gd_m2, mstate2 = nnx.split(model)
+        gd_c2, cstate2 = nnx.split(caches)
 
-        def generate(state, tok, n_steps: int):
+        def generate(mstate, cstate, tok, n_steps: int):
             def body(carry, i):
-                state, tok = carry
-                mod, cs = nnx.merge(graphdef2, state)
+                cstate, tok = carry
+                mod = nnx.merge(gd_m2, mstate)
+                cs = nnx.merge(gd_c2, cstate)
                 logits = mod(tok[:, None], caches=cs,
                              position_offset=prompt_len + i)
-                _, s2 = nnx.split((mod, cs))
+                _, c2 = nnx.split(cs)
                 nxt = greedy(logits[:, -1])
-                return (s2, nxt), nxt
+                return (c2, nxt), nxt
 
-            (state, tok), toks = jax.lax.scan(
-                body, (state, tok), jnp.arange(n_steps)
+            (cstate, tok), toks = jax.lax.scan(
+                body, (cstate, tok), jnp.arange(n_steps)
             )
-            return state, toks
+            return cstate, toks
 
         import functools
 
-        return state2, jax.jit(
-            functools.partial(generate, n_steps=gen_len - 1), donate_argnums=0
+        return mstate2, cstate2, jax.jit(
+            functools.partial(generate, n_steps=gen_len - 1), donate_argnums=1
         )
 
-    return state, jax.jit(prefill, donate_argnums=0), prepare, model, caches
+    return (
+        mstate, cstate, jax.jit(prefill, donate_argnums=1), prepare, model,
+        caches,
+    )
 
 
 # v5e HBM peak; override with DMX_HBM_PEAK_GBPS for other chips
@@ -345,16 +398,16 @@ def decode_step_hbm_bytes(model, caches, mode: str, avg_len: float) -> int:
 def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=5,
         quantized_kv=False, name: str = "opt"):
     """Returns (list of per-rep tok/s, per-decode-step HBM byte model)."""
-    state, prefill, prepare, model, caches = build(
+    mstate, cstate, prefill, prepare, model, caches = build(
         mode, cfg, prompt_len, gen_len, batch, quantized_kv=quantized_kv,
         name=name,
     )
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
 
-    state, tok = prefill(state, ids)
+    cstate, tok = prefill(mstate, cstate, ids)
     _ = float(jnp.sum(tok))
-    state, generate = prepare(state)
+    mstate, cstate, generate = prepare(cstate)
 
     rates = []
     # each rep rewrites the same cache window (positions restart), so the
@@ -364,7 +417,7 @@ def run(mode: str, cfg, batch=8, prompt_len=128, gen_len=65, reps=5,
     # completes, so a host readback is the only honest completion barrier.
     for i in range(reps + 1):
         t0 = time.perf_counter()
-        state, toks = generate(state, tok)
+        cstate, toks = generate(mstate, cstate, tok)
         _ = float(jnp.sum(toks))  # true completion barrier
         dt = time.perf_counter() - t0
         if i > 0:

@@ -404,42 +404,55 @@ class ContinuousBatchingEngine:
         """Apply the device-side state back onto the live modules (needed
         before admission writes or external inspection)."""
         if self._dstate is not None:
-            nnx.update((self.model, self.caches), self._dstate)
+            mstate, cstate = self._dstate
+            nnx.update(self.model, mstate)
+            nnx.update(self.caches, cstate)
             self._dstate = None
+
+    def _split_live(self):
+        if self._graphdef is None:
+            self._graphdef = (
+                nnx.split(self.model)[0], nnx.split(self.caches)[0]
+            )
+        return (nnx.split(self.model)[1], nnx.split(self.caches)[1])
 
     def _decode(self, burst: int, sampling: bool):
         """Jitted burst-decode: ``burst`` tokens per dispatch via lax.scan,
-        state donated and kept device-side — one host round-trip per burst
-        instead of per token (essential on tunneled TPUs).  The all-greedy
-        variant skips the sampler entirely (no [B, V] sort / categorical on
-        the hot path)."""
+        cache state donated and kept device-side — one host round-trip per
+        burst instead of per token (essential on tunneled TPUs).  Weights
+        are a READ-ONLY argument, never an output or scan carry: buffer
+        donation does not alias on the tunneled platform, so routing them
+        through the output would copy every weight per dispatch (and OOM
+        multi-GB models).  The all-greedy variant skips the sampler
+        entirely (no [B, V] sort / categorical on the hot path)."""
         if (burst, sampling) in self._decode_fns:
             return self._decode_fns[(burst, sampling)]
         if self._graphdef is None:
-            self._graphdef = nnx.split((self.model, self.caches))[0]
-        graphdef = self._graphdef
+            self._split_live()
+        gd_m, gd_c = self._graphdef
         top_k = self.top_k
         import functools
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def step(state, toks, key, temps):
+        @functools.partial(jax.jit, donate_argnums=1)
+        def step(mstate, cstate, toks, key, temps):
             def body(carry, _):
-                state, toks, key = carry
-                mod, caches = nnx.merge(graphdef, state)
+                cstate, toks, key = carry
+                mod = nnx.merge(gd_m, mstate)
+                caches = nnx.merge(gd_c, cstate)
                 off = caches[0].lengths.value  # [B] per-row positions
                 logits = mod(toks, caches=caches, position_offset=off)
-                _, s2 = nnx.split((mod, caches))
+                c2 = nnx.split(caches)[1]
                 if sampling:
                     key, sub = jax.random.split(key)
                     nxt = _pick(logits[:, -1], sub, temps, top_k)
                 else:
                     nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                return (s2, nxt[:, None], key), nxt
+                return (c2, nxt[:, None], key), nxt
 
-            (state, _, _), seq = jax.lax.scan(
-                body, (state, toks, key), None, length=burst
+            (cstate, _, _), seq = jax.lax.scan(
+                body, (cstate, toks, key), None, length=burst
             )
-            return state, seq.T  # [B, burst]
+            return cstate, seq.T  # [B, burst]
 
         self._decode_fns[(burst, sampling)] = step
         return step
@@ -483,7 +496,7 @@ class ContinuousBatchingEngine:
                 [[s.last_token] for s in self.slots], jnp.int32
             )
             if self._dstate is None:
-                self._dstate = nnx.split((self.model, self.caches))[1]
+                self._dstate = self._split_live()
             temps_host = [
                 s.request.temperature if s.active else 0.0
                 for s in self.slots
@@ -491,9 +504,11 @@ class ContinuousBatchingEngine:
             sampling = any(t > 0.0 for t in temps_host)
             temps = jnp.asarray(temps_host, jnp.float32)
             self._key, sub = jax.random.split(self._key)
-            self._dstate, seq = self._decode(burst, sampling)(
-                self._dstate, toks, sub, temps
+            mstate, cstate = self._dstate
+            cstate, seq = self._decode(burst, sampling)(
+                mstate, cstate, toks, sub, temps
             )
+            self._dstate = (mstate, cstate)
             seq = np.asarray(seq)  # [B, burst]
             for j in range(burst):
                 for b, slot in enumerate(self.slots):
@@ -688,15 +703,15 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
         if (burst, sampling) in self._decode_fns:
             return self._decode_fns[(burst, sampling)]
         if self._graphdef is None:
-            self._graphdef = nnx.split((self.model, self.caches))[0]
-        graphdef = self._graphdef
+            self._split_live()
+        gd_m, gd_c = self._graphdef
         top_k = self.top_k
         import functools
 
         masked = self._masked_encoder
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def step(state, toks, key, temps, enc, enc_lens):
+        @functools.partial(jax.jit, donate_argnums=1)
+        def step(mstate, cstate, toks, key, temps, enc, enc_lens):
             if masked:
                 S = enc.shape[1]
                 emask = jnp.where(
@@ -706,8 +721,9 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                 ).astype(jnp.float32)
 
             def body(carry, _):
-                state, toks, key = carry
-                mod, caches = nnx.merge(graphdef, state)
+                cstate, toks, key = carry
+                mod = nnx.merge(gd_m, mstate)
+                caches = nnx.merge(gd_c, cstate)
                 off = caches[0].lengths.value
                 if masked:
                     logits = mod.decode(toks, enc, caches=caches,
@@ -715,18 +731,18 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                 else:
                     logits = mod.decode(toks, enc, caches=caches,
                                         position_offset=off)
-                _, s2 = nnx.split((mod, caches))
+                c2 = nnx.split(caches)[1]
                 if sampling:
                     key, sub = jax.random.split(key)
                     nxt = _pick(logits[:, -1], sub, temps, top_k)
                 else:
                     nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                return (s2, nxt[:, None], key), nxt
+                return (c2, nxt[:, None], key), nxt
 
-            (state, _, _), seq = jax.lax.scan(
-                body, (state, toks, key), None, length=burst
+            (cstate, _, _), seq = jax.lax.scan(
+                body, (cstate, toks, key), None, length=burst
             )
-            return state, seq.T
+            return cstate, seq.T
 
         self._decode_fns[(burst, sampling)] = step
         return step
@@ -741,7 +757,7 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                 [[s.last_token] for s in self.slots], jnp.int32
             )
             if self._dstate is None:
-                self._dstate = nnx.split((self.model, self.caches))[1]
+                self._dstate = self._split_live()
             temps_host = [
                 s.request.temperature if s.active else 0.0
                 for s in self.slots
@@ -749,10 +765,12 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
             sampling = any(t > 0.0 for t in temps_host)
             temps = jnp.asarray(temps_host, jnp.float32)
             self._key, sub = jax.random.split(self._key)
-            self._dstate, seq = self._decode(burst, sampling)(
-                self._dstate, toks, sub, temps, self._enc,
+            mstate, cstate = self._dstate
+            cstate, seq = self._decode(burst, sampling)(
+                mstate, cstate, toks, sub, temps, self._enc,
                 jnp.asarray(self._enc_lens),
             )
+            self._dstate = (mstate, cstate)
             seq = np.asarray(seq)
             for j in range(burst):
                 for b, slot in enumerate(self.slots):
