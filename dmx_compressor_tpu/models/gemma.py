@@ -216,7 +216,8 @@ class GemmaModel(nnx.Module):
             cfg.head_dim, cfg.max_position_embeddings, base=cfg.rope_theta
         )
 
-    def __call__(self, input_ids, caches=None, position_offset=0):
+    def __call__(self, input_ids, caches=None, position_offset=0,
+                 apply_final_norm: bool = True):
         B, T = input_ids.shape
         x = self.embed_tokens(input_ids)
         # HF GemmaModel scales hidden states by sqrt(hidden) in x's dtype
@@ -243,7 +244,7 @@ class GemmaModel(nnx.Module):
             x = layer(x, cos, sin, attn_mask=mask,
                       cache=None if caches is None else caches[i],
                       prefill_offset=prefill_offset)
-        return self.norm(x)
+        return self.norm(x) if apply_final_norm else x
 
 
 class GemmaForCausalLM(nnx.Module):
@@ -257,6 +258,21 @@ class GemmaForCausalLM(nnx.Module):
         return self.cfg
 
     def __call__(self, input_ids, caches=None, position_offset=0):
+        if input_ids.shape[1] == 1 and caches is not None:
+            # decode tail: fuse the final RMSNorm into the LM-head kernel
+            # when the BASIC shapes prove out (ops/basic_layer.py)
+            from ..ops.basic_layer import basic_rms_head_plan, fused_rms_head
+
+            plan = basic_rms_head_plan(
+                self.model.norm, self.lm_head, gemma_norm=True
+            )
+            if plan is not None:
+                h = self.model(input_ids, caches=caches,
+                               position_offset=position_offset,
+                               apply_final_norm=False)
+                return fused_rms_head(
+                    h, self.model.norm, self.lm_head, plan, gemma_norm=True
+                )
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 

@@ -223,7 +223,8 @@ class LlamaModel(nnx.Module):
             base=cfg.rope_theta,
         )
 
-    def __call__(self, input_ids, caches=None, position_offset=0):
+    def __call__(self, input_ids, caches=None, position_offset=0,
+                 apply_final_norm: bool = True):
         from .positions import causal_mask, resolve_positions
 
         B, T = input_ids.shape
@@ -248,7 +249,7 @@ class LlamaModel(nnx.Module):
             x = layer(x, cos, sin, attn_mask=mask,
                       cache=None if caches is None else caches[i],
                       prefill_offset=prefill_offset)
-        return self.norm(x)
+        return self.norm(x) if apply_final_norm else x
 
 
 class LlamaForCausalLM(nnx.Module):
@@ -267,6 +268,21 @@ class LlamaForCausalLM(nnx.Module):
         return self.cfg
 
     def __call__(self, input_ids, caches=None, position_offset=0):
+        if input_ids.shape[1] == 1 and caches is not None:
+            # decode tail: fuse the final RMSNorm into the LM-head kernel
+            # when the BASIC shapes prove out (ops/basic_layer.py)
+            from ..ops.basic_layer import basic_rms_head_plan, fused_rms_head
+
+            plan = basic_rms_head_plan(
+                self.model.norm, self.lm_head
+            )
+            if plan is not None:
+                h = self.model(input_ids, caches=caches,
+                               position_offset=position_offset,
+                               apply_final_norm=False)
+                return fused_rms_head(
+                    h, self.model.norm, self.lm_head, plan
+                )
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)
 

@@ -427,6 +427,62 @@ def basic_head_plan(final_ln, lm_head) -> Optional[BasicHeadPlan]:
         return None
 
 
+def fused_rms_head(h, final_norm, lm_head, plan, *, gemma_norm: bool = False):
+    """Final-(Gemma)RMSNorm + LM-head as one fused chain (decode tail of
+    the Llama-topology families), numerics-identical to the modular
+    ``lm_head(norm(h))``.  Gemma's (1+w) folds exactly as the module's
+    approximator_wrapper does."""
+    w = final_norm._weight
+    rms_w = 1.0 + w.astype(jnp.float32) if gemma_norm else w
+    return fused_rms_linear(
+        h,
+        w_bf16=lm_head.weight_bf16.value
+        if lm_head.weight_bf16 is not None else None,
+        packed=None if lm_head.weight_bf16 is not None else lm_head.packed,
+        bias=lm_head.bias.value if lm_head.bias is not None else None,
+        rms_w=rms_w,
+        eps=plan.ln_eps,
+        wl=plan.wl,
+        in_block=plan.block,
+    )
+
+
+def basic_rms_head_plan(
+    final_norm, lm_head, *, gemma_norm: bool = False
+) -> Optional[BasicHeadPlan]:
+    """RMSNorm-family analogue of :func:`basic_head_plan`: fuse the
+    decoder's final (Gemma)RMSNorm into the LM-head kernel
+    (fused_rms_linear).  Exact type match on the norm so the (1+w) variant
+    never crosses with the plain one."""
+    from ..nn import modules as dmxnn
+    from ..nn.core import DmxModule
+
+    if not DmxModule.inference_mode or DmxModule.plugins:
+        return None
+    norm_t = dmxnn.GemmaRMSNorm if gemma_norm else dmxnn.RMSNorm
+    try:
+        if final_norm is None or type(final_norm) is not norm_t:
+            return None
+        if not _fp16_io_ok(final_norm, "rms_norm"):
+            return None
+        if final_norm.weight is None:
+            return None
+        from .compress import PackedBFPLinear
+
+        if not isinstance(lm_head, PackedBFPLinear):
+            return None
+        if not _linear_basic_ok(lm_head, require_bias=False):
+            return None
+        ic = lm_head.input_casts["input_cast"]
+        return BasicHeadPlan(
+            wl=ic.format.precision,
+            block=ic.format.block_size,
+            ln_eps=float(final_norm.eps),
+        )
+    except (KeyError, AttributeError):
+        return None
+
+
 class BasicLlamaPlan(NamedTuple):
     """Static parameters proving a Llama-family decoder layer is in the
     exact BASIC decode shape the fused step reproduces.  The family deltas

@@ -245,3 +245,37 @@ def test_gemma_rmsnorm_surrogate_uses_one_plus_weight():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(exact), rtol=1e-5, atol=1e-6
     )
+
+
+class TestFusedRMSHead:
+    """Final-RMSNorm + LM-head fusion (ops/basic_layer.fused_rms_head) vs
+    the modular lm_head(norm(h)) tail, per family."""
+
+    @pytest.mark.parametrize("family", ["qwen3", "gemma"])
+    def test_fused_head_matches_modular_tail(self, family, monkeypatch):
+        import dmx_compressor_tpu.ops.basic_layer as BL
+
+        cfg, fused = _basic_model(family)
+        _, plain = _basic_model(family)
+
+        B, P = 2, 64
+        ids = jax.random.randint(jax.random.key(11), (B, P), 0, cfg.vocab_size)
+        tok = jnp.ones((B, 1), jnp.int32)
+
+        c1 = fused.init_cache(B, P + 8)
+        fused(ids, caches=c1, position_offset=0)
+        # the fused path must actually engage for this test to mean anything
+        gflag = family == "gemma"
+        assert BL.basic_rms_head_plan(
+            fused.model.norm, fused.lm_head, gemma_norm=gflag
+        ) is not None
+        got = fused(tok, caches=c1, position_offset=P)
+
+        # identical weights (same rngs seed), fused head disabled
+        monkeypatch.setattr(BL, "basic_rms_head_plan", lambda *a, **k: None)
+        c2 = plain.init_cache(B, P + 8)
+        plain(ids, caches=c2, position_offset=0)
+        want = plain(tok, caches=c2, position_offset=P)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4
+        )
