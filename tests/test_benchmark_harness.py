@@ -235,3 +235,56 @@ class TestDecodeStepHbmBytes:
             D // cfg.num_attention_heads
         ) * 4 * 2
         assert got == expect_w + int(kv)
+
+
+class TestWeightSplitJitStructure:
+    """Weights must be read-only jit arguments in the bench closures —
+    never outputs or scan-carry components.  Buffer donation does not
+    alias on the tunneled TPU platform, so a full-state output copies
+    every weight per dispatch (this OOM'd gemma-2b; round-4 fix)."""
+
+    def test_prefill_and_generate_outputs_exclude_weights(self):
+        import jax
+
+        bench = self._bench()
+        cfg = bench.model_config("opt-125m")
+        cfg.num_hidden_layers = 2
+        mstate, cstate, prefill, prepare, model, caches = bench.build(
+            "weights", cfg, prompt_len=16, gen_len=5, batch=2,
+            quantized_kv=True,
+        )
+        weight_bytes = sum(
+            leaf.size * leaf.dtype.itemsize
+            for leaf in jax.tree.leaves(mstate)
+        )
+        cache_bytes = sum(
+            leaf.size * leaf.dtype.itemsize
+            for leaf in jax.tree.leaves(cstate)
+        )
+        assert weight_bytes > 4 * cache_bytes  # premise: weights dominate
+
+        import numpy as np
+
+        ids = jnp.zeros((2, 16), jnp.int32)
+        c2, tok = prefill(mstate, cstate, ids)
+        out_bytes = sum(
+            leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(c2)
+        )
+        assert out_bytes <= cache_bytes * 1.01  # no weights in the output
+        mstate2, c3, generate = prepare(c2)
+        c4, toks = generate(mstate2, c3, tok[:, None][:, 0])
+        gen_bytes = sum(
+            leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(c4)
+        )
+        assert gen_bytes <= cache_bytes * 1.01
+        assert toks.shape == (4, 2)  # [n_steps, batch] (scan-stacked)
+
+    def _bench(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench
+
+        return bench
