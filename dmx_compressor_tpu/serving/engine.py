@@ -334,8 +334,9 @@ class ContinuousBatchingEngine:
         if not self._prefilling:
             return
         C = self.prefill_chunk
-        self._sync_to_live()  # live model/caches must be valid buffers
-        model_state = nnx.split(self.model)[1]
+        if self._dstate is None:
+            self._dstate = self._split_live()
+        mstate, cstate = self._dstate
         for b in list(self._prefilling):
             st = self._prefilling[b]
             req = st.request
@@ -343,7 +344,7 @@ class ContinuousBatchingEngine:
             seg = req.prompt[st.filled : st.filled + C]
             ids[0, : seg.size] = seg
             st.cache_state, st.last_logits = self._chunk_fn(st.cap, st.filled)(
-                model_state, st.cache_state, jnp.asarray(ids)
+                mstate, st.cache_state, jnp.asarray(ids)
             )
             st.filled += C
             if st.filled < req.prompt.size:
@@ -355,9 +356,10 @@ class ContinuousBatchingEngine:
                 st.cache_state, st.last_logits, pos_in_chunk,
                 sub, jnp.float32(req.temperature),
             )
-            for li, cache in enumerate(self.caches):
-                cache.write_row(b, *(r[li] for r in rows),
-                                length=req.prompt.size)
+            cstate = self._install_fn()(
+                cstate, jnp.int32(b), rows, jnp.int32(req.prompt.size)
+            )
+            self._dstate = (mstate, cstate)
             slot = self.slots[b]
             slot.request = req
             slot.generated = [int(nxt)]
@@ -381,18 +383,22 @@ class ContinuousBatchingEngine:
             bucket = self._bucket_for(req.prompt.size)
             ids = np.full((1, bucket), self.pad_id, np.int32)
             ids[0, : req.prompt.size] = req.prompt
-            model_state = nnx.split(self.model)[1]
+            if self._dstate is None:
+                self._dstate = self._split_live()
+            mstate, cstate = self._dstate
             self._key, sub = jax.random.split(self._key)
             rows, nxt = self._prefill_fn(bucket, req.temperature > 0.0)(
-                model_state, jnp.asarray(ids), req.prompt.size,
+                mstate, jnp.asarray(ids), req.prompt.size,
                 sub, jnp.float32(req.temperature),
             )
-            # scatter the prefilled row into this slot; right-pad garbage
+            # scatter the prefilled row into this slot (one jitted
+            # dispatch, all layers, traced index); right-pad garbage
             # beyond true_len is masked by lengths[b] and overwritten by
             # subsequent appends
-            for li, cache in enumerate(self.caches):
-                cache.write_row(b, *(r[li] for r in rows),
-                                length=req.prompt.size)
+            cstate = self._install_fn()(
+                cstate, jnp.int32(b), rows, jnp.int32(req.prompt.size)
+            )
+            self._dstate = (mstate, cstate)
             slot.request = req
             slot.generated = [int(nxt)]
             slot.last_token = int(nxt)
@@ -415,6 +421,29 @@ class ContinuousBatchingEngine:
                 nnx.split(self.model)[0], nnx.split(self.caches)[0]
             )
         return (nnx.split(self.model)[1], nnx.split(self.caches)[1])
+
+    def _install_fn(self):
+        """One jitted dispatch installing a prefilled row into EVERY
+        layer's cache at a traced slot index.  The former per-layer eager
+        ``write_row`` loop cost ~2 tunnel round-trips per layer per
+        admission (the first SERVING_r04 capture lost most of its wall
+        clock to it); the traced index means one compile covers all
+        slots."""
+        if getattr(self, "_install", None) is not None:
+            return self._install
+        if self._graphdef is None:
+            self._split_live()
+        gd_c = self._graphdef[1]
+
+        @jax.jit
+        def install(cstate, b, rows, length):
+            caches = nnx.merge(gd_c, cstate)
+            for li, c in enumerate(caches):
+                c.write_row(b, *(r[li] for r in rows), length=length)
+            return nnx.split(caches)[1]
+
+        self._install = install
+        return install
 
     def _decode(self, burst: int, sampling: bool):
         """Jitted burst-decode: ``burst`` tokens per dispatch via lax.scan,
@@ -483,13 +512,7 @@ class ContinuousBatchingEngine:
         results.  Slots that finish mid-burst keep decoding garbage until
         the burst ends (truncated host-side, standard slot semantics)."""
         n_done = len(self.finished)
-        free = any(
-            not s.active and b not in self._prefilling
-            for b, s in enumerate(self.slots)
-        )
-        if self.queue and free:
-            self._sync_to_live()  # admission writes need the live caches
-        self._admit()
+        self._admit()  # admission installs ride the device-side cstate
         self._advance_prefills()  # one chunk each, interleaved with decode
         if any(s.active for s in self.slots):
             toks = jnp.asarray(
@@ -674,12 +697,14 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                                  feats.dtype)
                 padded[: feats.size] = feats
                 feats = padded
-            model_state = nnx.split(self.model)[1]
+            if self._dstate is None:
+                self._dstate = self._split_live()
+            mstate, cstate = self._dstate
             self._key, sub = jax.random.split(self._key)
             enc_row, rows, nxt = self._prefill_fn(
                 bucket, req.temperature > 0.0
             )(
-                model_state, jnp.asarray(feats[None]),
+                mstate, jnp.asarray(feats[None]),
                 jnp.asarray(ids), req.prompt.size, enc_len,
                 sub, jnp.float32(req.temperature),
             )
@@ -689,9 +714,10 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                     (self.max_slots, *enc_row.shape), enc_row.dtype
                 )
             self._enc = self._enc.at[b].set(enc_row)
-            for li, cache in enumerate(self.caches):
-                cache.write_row(b, *(r[li] for r in rows),
-                                length=req.prompt.size)
+            cstate = self._install_fn()(
+                cstate, jnp.int32(b), rows, jnp.int32(req.prompt.size)
+            )
+            self._dstate = (mstate, cstate)
             slot.request = req
             slot.generated = [int(nxt)]
             slot.last_token = int(nxt)
@@ -749,9 +775,7 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
 
     def step(self, burst: int = 1) -> List[GenerationResult]:
         n_done = len(self.finished)
-        if self.queue and any(not s.active for s in self.slots):
-            self._sync_to_live()
-        self._admit()
+        self._admit()  # admission installs ride the device-side cstate
         if any(s.active for s in self.slots):
             toks = jnp.asarray(
                 [[s.last_token] for s in self.slots], jnp.int32
