@@ -123,8 +123,6 @@ def build(mode: str, cfg, prompt_len: int, gen_len: int, batch: int,
           quantized_kv: bool = False, name: str = "opt"):
     import contextlib
 
-    from dmx_compressor_tpu.modeling.model import DmxModel
-
     # Build + quantize HOST-SIDE, then ship only the compact inference
     # state to the accelerator: the fp32 init / substitution / packing
     # transients of a multi-GB model never touch device HBM (gemma-2b's
