@@ -4,9 +4,14 @@
 format is BFP into a :class:`PackedBFPLinear`: the weight pipeline (sparsify
 -> smoothquant -> storage cast) is folded once, the result packed into int8
 mantissas + block exponents, and the forward runs the fused Pallas
-dequant-matmul (ops/bfp_linear.py).  Numerics are unchanged — the packed
-reconstruction is bit-exact w.r.t. the fake-quant weight cast — but weights
-occupy ~wl/32 of the fp32 footprint in HBM and are dequantized in VMEM.
+dequant-matmul (ops/bfp_linear.py).  Weight numerics are unchanged — the
+packed reconstruction is bit-exact w.r.t. the fake-quant weight cast — but
+weights occupy ~wl/32 of the fp32 footprint in HBM and are dequantized in
+VMEM.  Activation numerics: exact whenever the input cast quantizes to
+<= 8 mantissa bits (all quantized serving configs) and on every large-M
+(prefill) matmul; the ONE approximation is the small-M decode matmul under
+SAME/FP16 input casts, which rides the MXU in bf16 — a deliberate, measured
+serving policy (see PackedBFPLinear._forward).
 
 This stage has no analogue in the reference (which always recomputes
 fake-quant weights per forward, torch_modules.py:346-360); it is the TPU
@@ -186,17 +191,48 @@ class PackedBFPLinear(DmxModule):
             out = out.astype(_dtype)
         return out
 
+    def _acts_exact_in_bf16(self) -> bool:
+        """True when the live input cast guarantees activations arriving at
+        ``_forward`` are exactly representable in bf16 (BFP with <= 8
+        mantissa bits, fake-quant on) — the quantized serving configs."""
+        from ..numerics.format import BlockFloatingPoint as BFP
+
+        ic = self.input_casts["input_cast"]
+        return (
+            isinstance(ic.format, BFP)
+            and ic.format.precision <= 9
+            and ic.fake_quant_enabled
+        )
+
     def _forward(self, _input):
         if self.weight_bf16 is not None:
-            # bf16 weights feed the MXU directly (exact for quantized
-            # operands: <= 8 mantissa bits), half the fp32 HBM traffic, zero
-            # kernel overhead at tiny M; prefill (large M) is compute-bound,
-            # where the bf16 MXU pass also beats the f32 dequant kernel
-            y = jnp.matmul(
-                _input.astype(jnp.bfloat16),
-                self.weight_bf16.value.T,
-                preferred_element_type=jnp.float32,
-            )
+            rows = 1
+            for d in _input.shape[:-1]:
+                rows *= d
+            if rows > 256 and not self._acts_exact_in_bf16():
+                # Prefill with activations that do NOT fit bf16 exactly
+                # (SAME / FP16 input casts, i.e. weights-only serving):
+                # upcast the bf16 dequant cache — itself the EXACT quantized
+                # weight (<= 8 mantissa bits) — and run the matmul in f32.
+                # Prefill is compute-bound, so the transient convert is
+                # noise; this keeps exact-f32 prefill numerics without a
+                # second weight payload resident in HBM (ADVICE r4 medium).
+                y = jnp.matmul(
+                    _input.astype(jnp.float32),
+                    self.weight_bf16.value.T.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                # bf16 weights feed the MXU directly (exact for quantized
+                # operands: <= 8 mantissa bits), half the fp32 HBM traffic,
+                # zero kernel overhead at tiny M.  With SAME/FP16 inputs the
+                # small-M bf16 activation cast is a deliberate, measured
+                # serving approximation (same policy as PackedSBFPLinear).
+                y = jnp.matmul(
+                    _input.astype(jnp.bfloat16),
+                    self.weight_bf16.value.T,
+                    preferred_element_type=jnp.float32,
+                )
             if self.bias is not None:
                 y = y + self._bias.astype(y.dtype)
             return y.astype(_input.dtype)

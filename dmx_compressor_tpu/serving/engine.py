@@ -193,8 +193,21 @@ class ContinuousBatchingEngine:
         on first use; warm it by submitting a synthetic request with the
         production temperature before serving.
         """
+        assert not (
+            self.queue or self._prefilling or self.finished
+            or any(s.active for s in self.slots)
+        ), "warmup() must run on an idle engine (before any submit())"
         for bucket in self.prompt_buckets:
-            self.submit(np.ones((bucket,), np.int32), max_new_tokens=2)
+            # a full-bucket prompt may leave < 2 tokens of headroom under
+            # max_len; warm with whatever fits (>= 1 decode-token is enough
+            # to compile the decode dispatch)
+            headroom = self.max_len - bucket
+            if headroom < 1:
+                continue
+            self.submit(
+                np.ones((bucket,), np.int32),
+                max_new_tokens=min(2, headroom),
+            )
             guard = 0
             while (
                 self.queue
@@ -435,7 +448,12 @@ class ContinuousBatchingEngine:
             self._split_live()
         gd_c = self._graphdef[1]
 
-        @jax.jit
+        import functools
+
+        # cstate is donated exactly like the decode dispatch's: the engine
+        # owns the device-side cache state, and the pre-install buffers are
+        # dead the moment install returns (ADVICE r4)
+        @functools.partial(jax.jit, donate_argnums=0)
         def install(cstate, b, rows, length):
             caches = nnx.merge(gd_c, cstate)
             for li, c in enumerate(caches):
@@ -444,6 +462,27 @@ class ContinuousBatchingEngine:
 
         self._install = install
         return install
+
+    def _assert_serving_safe(self) -> None:
+        """The decode scan carries ONLY the cache state; any other state the
+        model mutates during forward (an observer left enabled, a
+        calibrating SmoothQuant) would be silently dropped — fail loudly
+        instead of recording nothing (ADVICE r4)."""
+        from ..numerics.cast import CastTo
+
+        bad = []
+        for path, node in nnx.iter_graph(self.model):
+            p = "/".join(str(s) for s in path)
+            if isinstance(node, CastTo) and node.observer_enabled:
+                bad.append(f"{p}: observer enabled")
+            sq = getattr(node, "smoothquant", None)
+            if sq is not None and getattr(sq, "calibrating", False):
+                bad.append(f"{p}: smoothquant calibrating")
+        assert not bad, (
+            "serving decode discards model-state mutations; disable these "
+            "stateful subsystems before serving (freeze/calibrate offline): "
+            + "; ".join(bad)
+        )
 
     def _decode(self, burst: int, sampling: bool):
         """Jitted burst-decode: ``burst`` tokens per dispatch via lax.scan,
@@ -456,6 +495,7 @@ class ContinuousBatchingEngine:
         entirely (no [B, V] sort / categorical on the hot path)."""
         if (burst, sampling) in self._decode_fns:
             return self._decode_fns[(burst, sampling)]
+        self._assert_serving_safe()
         if self._graphdef is None:
             self._split_live()
         gd_m, gd_c = self._graphdef
@@ -728,6 +768,7 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
     def _decode(self, burst: int, sampling: bool):
         if (burst, sampling) in self._decode_fns:
             return self._decode_fns[(burst, sampling)]
+        self._assert_serving_safe()
         if self._graphdef is None:
             self._split_live()
         gd_m, gd_c = self._graphdef

@@ -201,15 +201,34 @@ class QuantizedFunction:
             site_casts=self.site_casts,
         )
 
+    def _canonical_sid(self, key: str) -> Optional[str]:
+        """Resolve an override key to a member of ``self.sites``: exact
+        match first, then the bare ``<kind>_<i>`` fallback onto the unique
+        scoped site sharing that kind/index — the same back-compat rule the
+        eval path's ``_site_lookup`` applies (ADVICE r4: configure() used to
+        reject bare ids the eval path still honored)."""
+        if key in self.sites:
+            return key
+        matches = [s for s in self.sites if s.rsplit("/", 1)[-1] == key]
+        return matches[0] if len(matches) == 1 else None
+
     def configure(self, overrides: Dict[str, "SiteRule"]) -> "QuantizedFunction":
-        """Apply per-site rule overrides (keys from ``self.sites``).
-        Overridden sites get fresh quantizers (their observer state resets,
-        like reconfiguring a module's format)."""
-        unknown = set(overrides) - set(self.sites)
+        """Apply per-site rule overrides (keys from ``self.sites``; bare
+        trace-order ids resolve to their scope-qualified site).  Overridden
+        sites get fresh quantizers (their observer state resets, like
+        reconfiguring a module's format)."""
+        resolved = {}
+        unknown = []
+        for key, rule in overrides.items():
+            sid = self._canonical_sid(key)
+            if sid is None:
+                unknown.append(key)
+            else:
+                resolved[sid] = rule
         if unknown:
             raise ValueError(f"unknown sites: {sorted(unknown)}")
-        self.rules.overrides.update(overrides)
-        for sid, rule in overrides.items():
+        self.rules.overrides.update(resolved)
+        for sid, rule in resolved.items():
             self.site_casts[sid] = _rule_casts(rule, _sid_kind(sid))
         self._rebuild()
         return self

@@ -32,6 +32,15 @@ from flax import nnx
 
 
 def main():
+    # persistent compile cache (explicit, never at import time — the r4
+    # import-time mutation in bench.py poisoned unrelated test processes)
+    if jax.default_backend() != "cpu":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     from dmx_compressor_tpu.models.opt import OPTConfig, OPTForCausalLM
     from dmx_compressor_tpu.serving import ContinuousBatchingEngine
 
@@ -97,13 +106,20 @@ def main():
     base = emitted()
     step_times = []  # per-engine-step wall time (p99 = admission-latency
     # bound: a waiting request is admitted within one step)
+    steady_times = []  # steps that did NO admission/prefill work — the
+    # steady-state decode cadence resident requests experience
     busy_slot_steps = 0
     total_slot_steps = 0
     t0 = time.perf_counter()
-    while eng.queue or any(s.active for s in eng.slots) or pending:
+    while (eng.queue or eng._prefilling
+           or any(s.active for s in eng.slots) or pending):
+        admitting = bool(eng.queue) or bool(eng._prefilling)
         ts = time.perf_counter()
         done = eng.step(burst)
-        step_times.append(time.perf_counter() - ts)
+        dt_step = time.perf_counter() - ts
+        step_times.append(dt_step)
+        if not admitting:
+            steady_times.append(dt_step)
         busy_slot_steps += sum(1 for s in eng.slots if s.active)
         total_slot_steps += slots
         for _ in done:
@@ -112,6 +128,7 @@ def main():
     dt = time.perf_counter() - t0
     total_gen = emitted() - base
     st = np.sort(np.asarray(step_times))
+    sst = np.sort(np.asarray(steady_times if steady_times else step_times))
     print(json.dumps({
         "metric": f"{name}_{mode}_serving_tokens_per_sec",
         "value": round(total_gen / dt, 2),
@@ -123,6 +140,10 @@ def main():
         "slot_utilization": round(busy_slot_steps / max(total_slot_steps, 1), 3),
         "p50_step_ms": round(float(st[len(st) // 2]) * 1e3, 2),
         "p99_step_ms": round(float(st[min(int(len(st) * 0.99), len(st) - 1)]) * 1e3, 2),
+        "steady_p50_step_ms": round(float(sst[len(sst) // 2]) * 1e3, 2),
+        "steady_p99_step_ms": round(
+            float(sst[min(int(len(sst) * 0.99), len(sst) - 1)]) * 1e3, 2),
+        "steady_steps": len(steady_times),
         "wall_s": round(dt, 3),
     }))
 

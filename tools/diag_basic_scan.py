@@ -11,6 +11,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
 
+bench.enable_compile_cache()
+
 
 ONLY = [a for a in sys.argv[2:]]
 

@@ -31,6 +31,8 @@ import numpy as np
 
 import bench
 
+bench.enable_compile_cache()
+
 
 def run_ablated(name: str, mode: str, ablate: str, batch=8, prompt_len=128,
                 gen_len=65, reps=3):

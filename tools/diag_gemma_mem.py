@@ -19,6 +19,8 @@ from flax import nnx
 
 import bench
 
+bench.enable_compile_cache()
+
 
 def mem(tag):
     st = jax.devices()[0].memory_stats() or {}

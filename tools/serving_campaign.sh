@@ -1,9 +1,9 @@
 #!/bin/bash
-# Real-TPU serving-throughput runs (examples/serving_bench.py) -> SERVING_r04.json
+# Real-TPU serving-throughput runs (examples/serving_bench.py) -> SERVING_r05.json
 # (VERDICT r3 weak #3: the r3 roadmap claimed a SERVING_r03.json that was
 # never recorded; this script IS the recorder).
 set -u
-OUT=${1:-SERVING_r04.json}
+OUT=${1:-SERVING_r05.json}
 TMP=$(mktemp)
 run() {
   echo ">>> serving_bench.py $*" >&2
