@@ -60,6 +60,16 @@ FLASH_DECODE_MIN_S_INT8 = int(
 # per-grid-step cost across heads.  Tunable for the hardware A/B sweeps.
 FLASH_DECODE_BLOCK_H = int(os.environ.get("DMX_FLASH_DECODE_BLOCK_H", "4"))
 
+# Upper bound for _pick_block_k's grown K block.  Decode is grid-overhead
+# bound until the per-step DMA is several us long, so the sweet spot is the
+# LARGEST tile VMEM can double-buffer: grid steps per layer =
+# B * (Hkv/block_h) * (S/block_k), and each costs ~1us of fixed overhead
+# against (block_h * D * block_k) bytes of stream (tools/diag_decode_ab.py
+# sweep mode drives this).
+FLASH_DECODE_MAX_BLOCK_K = int(
+    os.environ.get("DMX_FLASH_DECODE_BLOCK_K", "512")
+)
+
 
 def flash_decode_viable(S: int, block_k: int = 128, kind: str = "fp") -> bool:
     """Kernel routing gate: on-TPU, a tileable cache length, and a cache
@@ -242,11 +252,13 @@ def flash_decode_ref(q, k, v, lengths, scale=None):
     )
 
 
-def _pick_block_k(S: int, block_k: int, max_block: int = 512) -> int:
+def _pick_block_k(S: int, block_k: int, max_block: Optional[int] = None) -> int:
     """Starting from the requested block (old semantics: ``min(block_k, S)``,
     ref-fallback when it doesn't divide S), grow to the largest divisor of S
     up to ``max_block`` — bigger blocks amortize per-grid-step overhead and
     give the DMA engine longer contiguous streams."""
+    if max_block is None:
+        max_block = FLASH_DECODE_MAX_BLOCK_K
     bk = min(block_k, S)
     if S % bk:
         return bk  # caller falls back to the unblocked reference

@@ -49,11 +49,22 @@ def _slot_layout(row, cache):
     return row if getattr(cache, "s_minor", False) else row.swapaxes(-1, -2)
 
 
+def _greedy(logits_row):
+    """argmax via two plain reduces: the tuple-reduce argmax lowering
+    costs ~150us/step on the target chip vs ~10us for this form (same
+    trick as bench.py's decode loop)."""
+    mx = jnp.max(logits_row, axis=-1, keepdims=True)
+    idx = jnp.arange(logits_row.shape[-1], dtype=jnp.int32)
+    return jnp.max(
+        jnp.where(logits_row == mx, idx, -1), axis=-1
+    ).astype(jnp.int32)
+
+
 def _pick(logits, key, temps, top_k):
     """Per-row token choice: greedy where temps == 0, otherwise
     temperature softmax sampling truncated to top_k (Pipeline.generate's
     sampler, hf.py:473-480, per row)."""
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    greedy = _greedy(logits)
     lg = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
     if top_k is not None:
         kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
@@ -124,6 +135,7 @@ class ContinuousBatchingEngine:
         top_k: Optional[int] = None,
         seed: int = 0,
         prefill_chunk: Optional[int] = None,
+        pipeline_depth: int = 1,
     ):
         self.model = model
         self.max_slots = max_slots
@@ -156,6 +168,17 @@ class ContinuousBatchingEngine:
         # writes or externally mutated state)
         self._dstate = None
         self._graphdef = None
+        # device-resident per-slot last tokens / temperatures for the decode
+        # dispatch; None = rebuild from the host slots (after admissions).
+        # Keeping these on device makes the steady-state step exactly ONE
+        # dispatch + one seq readback — no per-step uploads or host-side
+        # key splits (each is a full tunnel round trip on this platform)
+        self._dtoks = None
+        self._dtemps = None
+        # in-flight decode steps whose seq readback is deferred (see
+        # step()): deque of (seq device array, burst, [(slot, request_id)])
+        self.pipeline_depth = max(0, int(pipeline_depth))
+        self._pending: deque = deque()
 
     # ------------------------------------------------------------- intake
 
@@ -194,7 +217,7 @@ class ContinuousBatchingEngine:
         production temperature before serving.
         """
         assert not (
-            self.queue or self._prefilling or self.finished
+            self.queue or self._prefilling or self.finished or self._pending
             or any(s.active for s in self.slots)
         ), "warmup() must run on an idle engine (before any submit())"
         for bucket in self.prompt_buckets:
@@ -212,6 +235,7 @@ class ContinuousBatchingEngine:
             while (
                 self.queue
                 or self._prefilling
+                or self._pending
                 or any(s.active for s in self.slots)
             ):
                 self.step(burst)
@@ -248,7 +272,7 @@ class ContinuousBatchingEngine:
             if sampling:
                 nxt = _pick(boundary, key, temp[None], top_k)[0]
             else:
-                nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
+                nxt = _greedy(boundary)[0]
             if quantized:
                 rows = (
                     jnp.stack([_slot_layout(c.k_q.value[0], c) for c in caches]),
@@ -316,7 +340,7 @@ class ContinuousBatchingEngine:
             if sampling:
                 nxt = _pick(boundary, key, temp[None], top_k)[0]
             else:
-                nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
+                nxt = _greedy(boundary)[0]
             if quantized:
                 rows = (
                     jnp.stack([_slot_layout(c.k_q.value[0], c) for c in caches]),
@@ -377,6 +401,7 @@ class ContinuousBatchingEngine:
             slot.request = req
             slot.generated = [int(nxt)]
             slot.last_token = int(nxt)
+            self._admit_inputs(b, nxt, req.temperature)
             del self._prefilling[b]
             self._retire_if_done(b)
 
@@ -415,6 +440,7 @@ class ContinuousBatchingEngine:
             slot.request = req
             slot.generated = [int(nxt)]
             slot.last_token = int(nxt)
+            self._admit_inputs(b, nxt, req.temperature)
             self._retire_if_done(b)
 
     # ------------------------------------------------------------- decode
@@ -502,8 +528,12 @@ class ContinuousBatchingEngine:
         top_k = self.top_k
         import functools
 
-        @functools.partial(jax.jit, donate_argnums=1)
-        def step(mstate, cstate, toks, key, temps):
+        # Greedy (the common serving case) takes NO key/temps — the whole
+        # steady-state step is one dispatch on device-resident state plus
+        # one seq readback.  Sampling threads the PRNG key through the jit
+        # (key advances on device; no host-side jax.random.split dispatch).
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def step(mstate, cstate, toks, key=None, temps=None):
             def body(carry, _):
                 cstate, toks, key = carry
                 mod = nnx.merge(gd_m, mstate)
@@ -515,13 +545,14 @@ class ContinuousBatchingEngine:
                     key, sub = jax.random.split(key)
                     nxt = _pick(logits[:, -1], sub, temps, top_k)
                 else:
-                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                    nxt = _greedy(logits[:, -1])
                 return (c2, nxt[:, None], key), nxt
 
-            (cstate, _, _), seq = jax.lax.scan(
+            (cstate, toks, key), seq = jax.lax.scan(
                 body, (cstate, toks, key), None, length=burst
             )
-            return cstate, seq.T  # [B, burst]
+            out = (cstate, toks, seq.T)  # [B, burst]
+            return out + ((key,) if sampling else ())
 
         self._decode_fns[(burst, sampling)] = step
         return step
@@ -550,14 +581,19 @@ class ContinuousBatchingEngine:
         """Admit queued requests into free slots, advance every active slot
         by ``burst`` tokens in one dispatch, and return newly finished
         results.  Slots that finish mid-burst keep decoding garbage until
-        the burst ends (truncated host-side, standard slot semantics)."""
+        the burst ends (truncated host-side, standard slot semantics).
+
+        The seq readback is PIPELINED: a dispatched step's tokens are read
+        back only after the NEXT step is dispatched (``pipeline_depth``
+        in-flight steps, default 1).  On this platform one host sync costs
+        ~38 ms of tunnel round trip (tools/diag_engine_step.py), so reading
+        step N while step N+1 computes hides it; the decode inputs
+        (toks/temps/key) live on device, so the speculative dispatch needs
+        nothing from the readback."""
         n_done = len(self.finished)
         self._admit()  # admission installs ride the device-side cstate
         self._advance_prefills()  # one chunk each, interleaved with decode
         if any(s.active for s in self.slots):
-            toks = jnp.asarray(
-                [[s.last_token] for s in self.slots], jnp.int32
-            )
             if self._dstate is None:
                 self._dstate = self._split_live()
             temps_host = [
@@ -565,30 +601,86 @@ class ContinuousBatchingEngine:
                 for s in self.slots
             ]
             sampling = any(t > 0.0 for t in temps_host)
-            temps = jnp.asarray(temps_host, jnp.float32)
-            self._key, sub = jax.random.split(self._key)
-            mstate, cstate = self._dstate
-            cstate, seq = self._decode(burst, sampling)(
-                mstate, cstate, toks, sub, temps
-            )
-            self._dstate = (mstate, cstate)
-            seq = np.asarray(seq)  # [B, burst]
-            for j in range(burst):
-                for b, slot in enumerate(self.slots):
-                    if not slot.active:
-                        continue
-                    slot.generated.append(int(seq[b, j]))
-                    slot.last_token = int(seq[b, j])
-                    self._retire_if_done(b)
+            if self._dtoks is None:
+                self._dtoks = jnp.asarray(
+                    [[s.last_token] for s in self.slots], jnp.int32
+                )
+            if sampling and self._dtemps is None:
+                self._dtemps = jnp.asarray(temps_host, jnp.float32)
+            seq = self._dispatch(burst, sampling)
+            snapshot = [
+                (b, s.request.request_id)
+                for b, s in enumerate(self.slots) if s.active
+            ]
+            self._pending.append((seq, burst, snapshot))
+        while len(self._pending) > self.pipeline_depth:
+            self._apply_oldest()
+        if not (self.queue or self._prefilling):
+            # no upstream work left: drain in-flight steps so callers see
+            # every result without extra garbage dispatches
+            while self._pending and not any(s.active for s in self.slots):
+                self._apply_oldest()
+            if self._pending and all(
+                len(s.generated) + burst * len(self._pending)
+                >= s.request.max_new_tokens
+                for s in self.slots if s.active
+            ):
+                # every remaining token is already in flight
+                while self._pending:
+                    self._apply_oldest()
         return self.finished[n_done:]
+
+    def _admit_inputs(self, b: int, nxt, temperature: float) -> None:
+        """Refresh the device-resident decode inputs for one admitted slot.
+        With pipelined readback the host's view of OTHER slots' last tokens
+        lags the in-flight steps, so rebuilding ``_dtoks`` host-side would
+        clobber them; update only this slot's entries on device (tiny async
+        dispatches, no sync — ``nxt`` is the prefill's device scalar)."""
+        if self._dtoks is not None:
+            self._dtoks = self._dtoks.at[b, 0].set(nxt)
+        if self._dtemps is not None:
+            self._dtemps = self._dtemps.at[b].set(temperature)
+
+    def _dispatch(self, burst: int, sampling: bool):
+        """Issue one decode dispatch on the device-resident state; returns
+        the (not yet read back) [B, burst] token array."""
+        mstate, cstate = self._dstate
+        if sampling:
+            cstate, self._dtoks, seq, self._key = self._decode(burst, True)(
+                mstate, cstate, self._dtoks, self._key, self._dtemps
+            )
+        else:
+            cstate, self._dtoks, seq = self._decode(burst, False)(
+                mstate, cstate, self._dtoks
+            )
+        self._dstate = (mstate, cstate)
+        return seq
+
+    def _apply_oldest(self) -> None:
+        """Read back the oldest in-flight step's tokens and apply them to
+        the slots that were active at its dispatch (identified by request
+        id — a slot retired-and-readmitted since then skips the stale
+        tokens)."""
+        seq, burst, snapshot = self._pending.popleft()
+        seq = np.asarray(seq)  # the ONE host sync of the steady-state loop
+        for j in range(burst):
+            for b, rid in snapshot:
+                slot = self.slots[b]
+                if slot.request is None or slot.request.request_id != rid:
+                    continue
+                slot.generated.append(int(seq[b, j]))
+                slot.last_token = int(seq[b, j])
+                self._retire_if_done(b)
 
     def run(self, burst: int = 1) -> List[GenerationResult]:
         """Drain the queue and all active slots to completion."""
         while (
-            self.queue or self._prefilling
+            self.queue or self._prefilling or self._pending
             or any(s.active for s in self.slots)
         ):
             self.step(burst)
+        while self._pending:  # safety: step() normally drains these
+            self._apply_oldest()
         # hand the (donated-and-replaced) device state back to the live
         # modules so the model is usable outside the engine again
         self._sync_to_live()
@@ -701,7 +793,7 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
             if sampling:
                 nxt = _pick(boundary, key, temp[None], top_k)[0]
             else:
-                nxt = jnp.argmax(boundary[0], axis=-1).astype(jnp.int32)
+                nxt = _greedy(boundary)[0]
             if quantized:
                 rows = (
                     jnp.stack([_slot_layout(c.k_q.value[0], c) for c in caches]),
@@ -761,6 +853,7 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
             slot.request = req
             slot.generated = [int(nxt)]
             slot.last_token = int(nxt)
+            self._admit_inputs(b, nxt, req.temperature)
             self._retire_if_done(b)
 
     # ------------------------------------------------------------- decode
@@ -777,8 +870,8 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
 
         masked = self._masked_encoder
 
-        @functools.partial(jax.jit, donate_argnums=1)
-        def step(mstate, cstate, toks, key, temps, enc, enc_lens):
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def step(mstate, cstate, toks, enc, enc_lens, key=None, temps=None):
             if masked:
                 S = enc.shape[1]
                 emask = jnp.where(
@@ -803,45 +896,31 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                     key, sub = jax.random.split(key)
                     nxt = _pick(logits[:, -1], sub, temps, top_k)
                 else:
-                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                    nxt = _greedy(logits[:, -1])
                 return (c2, nxt[:, None], key), nxt
 
-            (cstate, _, _), seq = jax.lax.scan(
+            (cstate, toks, key), seq = jax.lax.scan(
                 body, (cstate, toks, key), None, length=burst
             )
-            return cstate, seq.T
+            out = (cstate, toks, seq.T)
+            return out + ((key,) if sampling else ())
 
         self._decode_fns[(burst, sampling)] = step
         return step
 
-    def step(self, burst: int = 1) -> List[GenerationResult]:
-        n_done = len(self.finished)
-        self._admit()  # admission installs ride the device-side cstate
-        if any(s.active for s in self.slots):
-            toks = jnp.asarray(
-                [[s.last_token] for s in self.slots], jnp.int32
+    def _dispatch(self, burst: int, sampling: bool):
+        """Causal-LM dispatch plus the slot encoder rows / lengths (the
+        shared pipelined ``step()`` drives this)."""
+        mstate, cstate = self._dstate
+        enc_lens = jnp.asarray(self._enc_lens)
+        if sampling:
+            cstate, self._dtoks, seq, self._key = self._decode(burst, True)(
+                mstate, cstate, self._dtoks, self._enc, enc_lens,
+                self._key, self._dtemps,
             )
-            if self._dstate is None:
-                self._dstate = self._split_live()
-            temps_host = [
-                s.request.temperature if s.active else 0.0
-                for s in self.slots
-            ]
-            sampling = any(t > 0.0 for t in temps_host)
-            temps = jnp.asarray(temps_host, jnp.float32)
-            self._key, sub = jax.random.split(self._key)
-            mstate, cstate = self._dstate
-            cstate, seq = self._decode(burst, sampling)(
-                mstate, cstate, toks, sub, temps, self._enc,
-                jnp.asarray(self._enc_lens),
+        else:
+            cstate, self._dtoks, seq = self._decode(burst, False)(
+                mstate, cstate, self._dtoks, self._enc, enc_lens
             )
-            self._dstate = (mstate, cstate)
-            seq = np.asarray(seq)
-            for j in range(burst):
-                for b, slot in enumerate(self.slots):
-                    if not slot.active:
-                        continue
-                    slot.generated.append(int(seq[b, j]))
-                    slot.last_token = int(seq[b, j])
-                    self._retire_if_done(b)
-        return self.finished[n_done:]
+        self._dstate = (mstate, cstate)
+        return seq

@@ -111,7 +111,7 @@ def main():
     busy_slot_steps = 0
     total_slot_steps = 0
     t0 = time.perf_counter()
-    while (eng.queue or eng._prefilling
+    while (eng.queue or eng._prefilling or eng._pending
            or any(s.active for s in eng.slots) or pending):
         admitting = bool(eng.queue) or bool(eng._prefilling)
         ts = time.perf_counter()

@@ -107,10 +107,10 @@ def sweep(which: str, Ss):
         i8_mb = 2 * B * Hkv * S * (D + 4) / 1e6
         print(f"--- {which} S={S}: SoL fp32 {fp_mb / 819e3 * 1e6:.1f} us, "
               f"int8 {i8_mb / 819e3 * 1e6:.1f} us", flush=True)
-        for bk in (128, 256, 512, 1024):
+        for bk in (256, 512, 1024, 2048):
             if S % bk:
                 continue
-            for bh in (1, 2, 4, 8, 16):
+            for bh in (2, 4, 6, 8, 12, 16, 32):
                 if Hkv % bh:
                     continue
                 timeit(
