@@ -26,10 +26,35 @@ import pytest  # noqa: E402
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: reruns of the suite skip recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# Persistent compilation cache: reruns of the suite skip recompilation.
+# The dir is SPLIT by platform context: a DMX_TEST_TPU=1 process (axon
+# plugin loaded) compiles its host-CPU executables with different target
+# options (+prefer-no-scatter/-gather), and a CPU-only process that later
+# loads such an entry gets a machine-features-mismatched AOT executable —
+# the root cause of the order-dependent r4
+# test_softmax_approx_replaces_value_keeps_grad failure (the old shared
+# /tmp/jax_test_cache is abandoned as contaminated).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/jax_test_cache_tpu" if _USE_TPU else "/tmp/jax_test_cache_cpu",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+@pytest.fixture(autouse=True)
+def _restore_inference_mode():
+    """bench.build / examples call ops.compress.set_inference_mode(True) —
+    a GLOBAL DmxModule class flag.  A test that exercises them must not
+    leak it into later tests (the true cause of the r4 order-dependent
+    test_softmax_approx_replaces_value_keeps_grad failure: under
+    inference_mode, approximated ops skip the approximation_error
+    recording by design)."""
+    from dmx_compressor_tpu.nn.core import DmxModule
+
+    prev = DmxModule.inference_mode
+    yield
+    DmxModule.inference_mode = prev
 
 
 @pytest.fixture
