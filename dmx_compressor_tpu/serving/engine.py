@@ -49,6 +49,29 @@ def _slot_layout(row, cache):
     return row if getattr(cache, "s_minor", False) else row.swapaxes(-1, -2)
 
 
+def _write_rows(slot_caches, b, caches, length, quantized):
+    """Install a freshly-prefilled batch-1 cache into slot ``b`` of every
+    layer's slot cache — traced inside the prefill jit so admission is ONE
+    dispatch (prefill + install), not two."""
+    for sc, c in zip(slot_caches, caches):
+        if quantized:
+            sc.write_row(
+                b,
+                _slot_layout(c.k_q.value[0], c),
+                _slot_layout(c.v_q.value[0], c),
+                c.k_scale.value[0],
+                c.v_scale.value[0],
+                length=length,
+            )
+        else:
+            sc.write_row(
+                b,
+                _slot_layout(c.k.value[0], c),
+                _slot_layout(c.v.value[0], c),
+                length=length,
+            )
+
+
 def _greedy(logits_row):
     """argmax via two plain reduces: the tuple-reduce argmax lowering
     costs ~150us/step on the target chip vs ~10us for this form (same
@@ -169,12 +192,14 @@ class ContinuousBatchingEngine:
         self._dstate = None
         self._graphdef = None
         # device-resident per-slot last tokens / temperatures for the decode
-        # dispatch; None = rebuild from the host slots (after admissions).
+        # dispatch, updated in place by decode outputs and admissions.
         # Keeping these on device makes the steady-state step exactly ONE
         # dispatch + one seq readback — no per-step uploads or host-side
-        # key splits (each is a full tunnel round trip on this platform)
-        self._dtoks = None
-        self._dtemps = None
+        # key splits (each is a full tunnel round trip on this platform).
+        # Eagerly initialized: with deferred prefill-token readback the
+        # host slots lag the device, so they are never a rebuild source.
+        self._dtoks = jnp.zeros((max_slots, 1), jnp.int32)
+        self._dtemps = jnp.zeros((max_slots,), jnp.float32)
         # in-flight decode steps whose seq readback is deferred (see
         # step()): deque of (seq device array, burst, [(slot, request_id)])
         self.pipeline_depth = max(0, int(pipeline_depth))
@@ -253,17 +278,24 @@ class ContinuousBatchingEngine:
 
     def _prefill_fn(self, bucket: int, sampling: bool):
         """Jitted single-request prefill at one bucketed length: fresh
-        batch-1 caches, returns stacked per-layer K/V rows + the next token
-        at the true prompt boundary (greedy or sampled)."""
+        batch-1 caches, installed into the slot caches INSIDE the same
+        program (one async dispatch per admission, zero host syncs — the
+        next token stays a device scalar until the pipelined readback)."""
         if (bucket, sampling) in self._prefill_fns:
             return self._prefill_fns[(bucket, sampling)]
-        graphdef = nnx.split(self.model)[0]
+        if self._graphdef is None:
+            self._split_live()
+        graphdef = self._graphdef[0]
+        gd_c = self._graphdef[1]
         quantized = self.quantized_kv
         top_k = self.top_k
+        import functools
 
-        @jax.jit
-        def prefill(model_state, ids, true_len, key, temp):
+        @functools.partial(jax.jit, donate_argnums=1)
+        def prefill(model_state, cstate, b, ids, true_len, key=None,
+                    temp=None):
             mod = nnx.merge(graphdef, model_state)
+            slot_caches = nnx.merge(gd_c, cstate)
             caches = mod.init_cache(1, bucket, quantized=quantized)
             logits = mod(ids, caches=caches, position_offset=0)
             boundary = jax.lax.dynamic_slice_in_dim(
@@ -273,20 +305,8 @@ class ContinuousBatchingEngine:
                 nxt = _pick(boundary, key, temp[None], top_k)[0]
             else:
                 nxt = _greedy(boundary)[0]
-            if quantized:
-                rows = (
-                    jnp.stack([_slot_layout(c.k_q.value[0], c) for c in caches]),
-                    jnp.stack([_slot_layout(c.v_q.value[0], c) for c in caches]),
-                    jnp.stack([c.k_scale.value[0] for c in caches]),
-                    jnp.stack([c.v_scale.value[0] for c in caches]),
-                )
-            else:
-                rows = (
-                    # [L, H, D, bucket] — s_minor rows, scattered as-is
-                    jnp.stack([_slot_layout(c.k.value[0], c) for c in caches]),
-                    jnp.stack([_slot_layout(c.v.value[0], c) for c in caches]),
-                )
-            return rows, nxt
+            _write_rows(slot_caches, b, caches, true_len, quantized)
+            return nnx.split(slot_caches)[1], nxt
 
         self._prefill_fns[(bucket, sampling)] = prefill
         return prefill
@@ -323,16 +343,22 @@ class ContinuousBatchingEngine:
 
     def _finalize_fn(self, cap: int, sampling: bool):
         """Jitted chunked-prefill epilogue: pick the next token at the true
-        prompt boundary inside the final chunk's logits and stack the
-        filled cache rows for the slot scatter."""
+        prompt boundary inside the final chunk's logits and install the
+        filled cache rows into the slot caches — one dispatch, no sync."""
         if (cap, sampling) in self._finalize_fns:
             return self._finalize_fns[(cap, sampling)]
+        if self._graphdef is None:
+            self._split_live()
+        gd_c = self._graphdef[1]
         cache_def = self._chunk_cache_defs[cap]
         quantized = self.quantized_kv
         top_k = self.top_k
+        import functools
 
-        @jax.jit
-        def finalize(cache_state, logits, pos_in_chunk, key, temp):
+        @functools.partial(jax.jit, donate_argnums=0)
+        def finalize(cstate, cache_state, b, true_len, logits, pos_in_chunk,
+                     key=None, temp=None):
+            slot_caches = nnx.merge(gd_c, cstate)
             caches = nnx.merge(cache_def, cache_state)
             boundary = jax.lax.dynamic_slice_in_dim(
                 logits[0], pos_in_chunk, 1, axis=0
@@ -341,19 +367,8 @@ class ContinuousBatchingEngine:
                 nxt = _pick(boundary, key, temp[None], top_k)[0]
             else:
                 nxt = _greedy(boundary)[0]
-            if quantized:
-                rows = (
-                    jnp.stack([_slot_layout(c.k_q.value[0], c) for c in caches]),
-                    jnp.stack([_slot_layout(c.v_q.value[0], c) for c in caches]),
-                    jnp.stack([c.k_scale.value[0] for c in caches]),
-                    jnp.stack([c.v_scale.value[0] for c in caches]),
-                )
-            else:
-                rows = (
-                    jnp.stack([_slot_layout(c.k.value[0], c) for c in caches]),
-                    jnp.stack([_slot_layout(c.v.value[0], c) for c in caches]),
-                )
-            return rows, nxt
+            _write_rows(slot_caches, b, caches, true_len, quantized)
+            return nnx.split(slot_caches)[1], nxt
 
         self._finalize_fns[(cap, sampling)] = finalize
         return finalize
@@ -386,24 +401,24 @@ class ContinuousBatchingEngine:
             st.filled += C
             if st.filled < req.prompt.size:
                 continue
-            # final chunk done: sample the boundary token, install the slot
-            self._key, sub = jax.random.split(self._key)
+            # final chunk done: sample the boundary token + install the
+            # slot in one dispatch; the token's readback rides _pending
             pos_in_chunk = req.prompt.size - 1 - (st.filled - C)
-            rows, nxt = self._finalize_fn(st.cap, req.temperature > 0.0)(
-                st.cache_state, st.last_logits, pos_in_chunk,
-                sub, jnp.float32(req.temperature),
-            )
-            cstate = self._install_fn()(
-                cstate, jnp.int32(b), rows, jnp.int32(req.prompt.size)
-            )
+            sampled = req.temperature > 0.0
+            args = (cstate, st.cache_state, jnp.int32(b),
+                    jnp.int32(req.prompt.size), st.last_logits,
+                    pos_in_chunk)
+            if sampled:
+                self._key, sub = jax.random.split(self._key)
+                args += (sub, jnp.float32(req.temperature))
+            cstate, nxt = self._finalize_fn(st.cap, sampled)(*args)
             self._dstate = (mstate, cstate)
             slot = self.slots[b]
             slot.request = req
-            slot.generated = [int(nxt)]
-            slot.last_token = int(nxt)
+            slot.generated = []
             self._admit_inputs(b, nxt, req.temperature)
+            self._pending.append(("prefill", nxt, b, req.request_id))
             del self._prefilling[b]
-            self._retire_if_done(b)
 
     def _admit(self) -> None:
         for b, slot in enumerate(self.slots):
@@ -424,24 +439,21 @@ class ContinuousBatchingEngine:
             if self._dstate is None:
                 self._dstate = self._split_live()
             mstate, cstate = self._dstate
-            self._key, sub = jax.random.split(self._key)
-            rows, nxt = self._prefill_fn(bucket, req.temperature > 0.0)(
-                mstate, jnp.asarray(ids), req.prompt.size,
-                sub, jnp.float32(req.temperature),
-            )
-            # scatter the prefilled row into this slot (one jitted
-            # dispatch, all layers, traced index); right-pad garbage
-            # beyond true_len is masked by lengths[b] and overwritten by
-            # subsequent appends
-            cstate = self._install_fn()(
-                cstate, jnp.int32(b), rows, jnp.int32(req.prompt.size)
-            )
+            sampled = req.temperature > 0.0
+            args = (mstate, cstate, jnp.int32(b), jnp.asarray(ids),
+                    req.prompt.size)
+            if sampled:
+                self._key, sub = jax.random.split(self._key)
+                args += (sub, jnp.float32(req.temperature))
+            # prefill + slot install in ONE async dispatch; the next
+            # token's readback is deferred through _pending (an admission
+            # costs ZERO host syncs)
+            cstate, nxt = self._prefill_fn(bucket, sampled)(*args)
             self._dstate = (mstate, cstate)
             slot.request = req
-            slot.generated = [int(nxt)]
-            slot.last_token = int(nxt)
+            slot.generated = []
             self._admit_inputs(b, nxt, req.temperature)
-            self._retire_if_done(b)
+            self._pending.append(("prefill", nxt, b, req.request_id))
 
     # ------------------------------------------------------------- decode
 
@@ -460,34 +472,6 @@ class ContinuousBatchingEngine:
                 nnx.split(self.model)[0], nnx.split(self.caches)[0]
             )
         return (nnx.split(self.model)[1], nnx.split(self.caches)[1])
-
-    def _install_fn(self):
-        """One jitted dispatch installing a prefilled row into EVERY
-        layer's cache at a traced slot index.  The former per-layer eager
-        ``write_row`` loop cost ~2 tunnel round-trips per layer per
-        admission (the first SERVING_r04 capture lost most of its wall
-        clock to it); the traced index means one compile covers all
-        slots."""
-        if getattr(self, "_install", None) is not None:
-            return self._install
-        if self._graphdef is None:
-            self._split_live()
-        gd_c = self._graphdef[1]
-
-        import functools
-
-        # cstate is donated exactly like the decode dispatch's: the engine
-        # owns the device-side cache state, and the pre-install buffers are
-        # dead the moment install returns (ADVICE r4)
-        @functools.partial(jax.jit, donate_argnums=0)
-        def install(cstate, b, rows, length):
-            caches = nnx.merge(gd_c, cstate)
-            for li, c in enumerate(caches):
-                c.write_row(b, *(r[li] for r in rows), length=length)
-            return nnx.split(caches)[1]
-
-        self._install = install
-        return install
 
     def _assert_serving_safe(self) -> None:
         """The decode scan carries ONLY the cache state; any other state the
@@ -601,18 +585,12 @@ class ContinuousBatchingEngine:
                 for s in self.slots
             ]
             sampling = any(t > 0.0 for t in temps_host)
-            if self._dtoks is None:
-                self._dtoks = jnp.asarray(
-                    [[s.last_token] for s in self.slots], jnp.int32
-                )
-            if sampling and self._dtemps is None:
-                self._dtemps = jnp.asarray(temps_host, jnp.float32)
             seq = self._dispatch(burst, sampling)
             snapshot = [
                 (b, s.request.request_id)
                 for b, s in enumerate(self.slots) if s.active
             ]
-            self._pending.append((seq, burst, snapshot))
+            self._pending.append(("decode", seq, burst, snapshot))
         while len(self._pending) > self.pipeline_depth:
             self._apply_oldest()
         if not (self.queue or self._prefilling):
@@ -620,10 +598,21 @@ class ContinuousBatchingEngine:
             # every result without extra garbage dispatches
             while self._pending and not any(s.active for s in self.slots):
                 self._apply_oldest()
+
+            def in_flight(b):
+                n = 0
+                for e in self._pending:
+                    if e[0] == "prefill" and e[2] == b:
+                        n += 1
+                    elif e[0] == "decode" and any(
+                        bb == b for bb, _ in e[3]
+                    ):
+                        n += e[2]
+                return n
+
             if self._pending and all(
-                len(s.generated) + burst * len(self._pending)
-                >= s.request.max_new_tokens
-                for s in self.slots if s.active
+                len(s.generated) + in_flight(b) >= s.request.max_new_tokens
+                for b, s in enumerate(self.slots) if s.active
             ):
                 # every remaining token is already in flight
                 while self._pending:
@@ -636,10 +625,8 @@ class ContinuousBatchingEngine:
         lags the in-flight steps, so rebuilding ``_dtoks`` host-side would
         clobber them; update only this slot's entries on device (tiny async
         dispatches, no sync — ``nxt`` is the prefill's device scalar)."""
-        if self._dtoks is not None:
-            self._dtoks = self._dtoks.at[b, 0].set(nxt)
-        if self._dtemps is not None:
-            self._dtemps = self._dtemps.at[b].set(temperature)
+        self._dtoks = self._dtoks.at[b, 0].set(nxt)
+        self._dtemps = self._dtemps.at[b].set(temperature)
 
     def _dispatch(self, burst: int, sampling: bool):
         """Issue one decode dispatch on the device-resident state; returns
@@ -657,11 +644,21 @@ class ContinuousBatchingEngine:
         return seq
 
     def _apply_oldest(self) -> None:
-        """Read back the oldest in-flight step's tokens and apply them to
-        the slots that were active at its dispatch (identified by request
-        id — a slot retired-and-readmitted since then skips the stale
-        tokens)."""
-        seq, burst, snapshot = self._pending.popleft()
+        """Read back the oldest in-flight result (a decode step's tokens or
+        an admission's prefill token) and apply it to the slots that were
+        active at its dispatch (identified by request id — a slot
+        retired-and-readmitted since then skips the stale tokens)."""
+        entry = self._pending.popleft()
+        if entry[0] == "prefill":
+            _, nxt, b, rid = entry
+            tok = int(np.asarray(nxt))
+            slot = self.slots[b]
+            if slot.request is not None and slot.request.request_id == rid:
+                slot.generated.append(tok)
+                slot.last_token = tok
+                self._retire_if_done(b)
+            return
+        _, seq, burst, snapshot = entry
         seq = np.asarray(seq)  # the ONE host sync of the steady-state loop
         for j in range(burst):
             for b, rid in snapshot:
@@ -765,15 +762,20 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
     def _prefill_fn(self, bucket: int, sampling: bool):
         if (bucket, sampling) in self._prefill_fns:
             return self._prefill_fns[(bucket, sampling)]
-        graphdef = nnx.split(self.model)[0]
+        if self._graphdef is None:
+            self._split_live()
+        graphdef, gd_c = self._graphdef
         quantized = self.quantized_kv
         top_k = self.top_k
+        import functools
 
         masked = self._masked_encoder
 
-        @jax.jit
-        def prefill(model_state, feats, ids, true_len, enc_len, key, temp):
+        @functools.partial(jax.jit, donate_argnums=1)
+        def prefill(model_state, cstate, b, feats, ids, true_len, enc_len,
+                    key=None, temp=None):
             mod = nnx.merge(graphdef, model_state)
+            slot_caches = nnx.merge(gd_c, cstate)
             caches = mod.init_cache(1, bucket, quantized=quantized)
             if masked:
                 S = feats.shape[-1]
@@ -794,19 +796,8 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                 nxt = _pick(boundary, key, temp[None], top_k)[0]
             else:
                 nxt = _greedy(boundary)[0]
-            if quantized:
-                rows = (
-                    jnp.stack([_slot_layout(c.k_q.value[0], c) for c in caches]),
-                    jnp.stack([_slot_layout(c.v_q.value[0], c) for c in caches]),
-                    jnp.stack([c.k_scale.value[0] for c in caches]),
-                    jnp.stack([c.v_scale.value[0] for c in caches]),
-                )
-            else:
-                rows = (
-                    jnp.stack([_slot_layout(c.k.value[0], c) for c in caches]),
-                    jnp.stack([_slot_layout(c.v.value[0], c) for c in caches]),
-                )
-            return enc[0], rows, nxt
+            _write_rows(slot_caches, b, caches, true_len, quantized)
+            return nnx.split(slot_caches)[1], enc[0], nxt
 
         self._prefill_fns[(bucket, sampling)] = prefill
         return prefill
@@ -832,29 +823,24 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
             if self._dstate is None:
                 self._dstate = self._split_live()
             mstate, cstate = self._dstate
-            self._key, sub = jax.random.split(self._key)
-            enc_row, rows, nxt = self._prefill_fn(
-                bucket, req.temperature > 0.0
-            )(
-                mstate, jnp.asarray(feats[None]),
-                jnp.asarray(ids), req.prompt.size, enc_len,
-                sub, jnp.float32(req.temperature),
-            )
+            sampled = req.temperature > 0.0
+            args = (mstate, cstate, jnp.int32(b), jnp.asarray(feats[None]),
+                    jnp.asarray(ids), req.prompt.size, enc_len)
+            if sampled:
+                self._key, sub = jax.random.split(self._key)
+                args += (sub, jnp.float32(req.temperature))
+            cstate, enc_row, nxt = self._prefill_fn(bucket, sampled)(*args)
             self._enc_lens[b] = enc_len
             if self._enc is None:
                 self._enc = jnp.zeros(
                     (self.max_slots, *enc_row.shape), enc_row.dtype
                 )
             self._enc = self._enc.at[b].set(enc_row)
-            cstate = self._install_fn()(
-                cstate, jnp.int32(b), rows, jnp.int32(req.prompt.size)
-            )
             self._dstate = (mstate, cstate)
             slot.request = req
-            slot.generated = [int(nxt)]
-            slot.last_token = int(nxt)
+            slot.generated = []
             self._admit_inputs(b, nxt, req.temperature)
-            self._retire_if_done(b)
+            self._pending.append(("prefill", nxt, b, req.request_id))
 
     # ------------------------------------------------------------- decode
 
