@@ -291,9 +291,9 @@ class ContinuousBatchingEngine:
         top_k = self.top_k
         import functools
 
-        @functools.partial(jax.jit, donate_argnums=1)
-        def prefill(model_state, cstate, b, ids, true_len, key=None,
-                    temp=None):
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def prefill(model_state, cstate, dtoks, dtemps, b, ids, true_len,
+                    temp, key=None):
             mod = nnx.merge(graphdef, model_state)
             slot_caches = nnx.merge(gd_c, cstate)
             caches = mod.init_cache(1, bucket, quantized=quantized)
@@ -306,7 +306,11 @@ class ContinuousBatchingEngine:
             else:
                 nxt = _greedy(boundary)[0]
             _write_rows(slot_caches, b, caches, true_len, quantized)
-            return nnx.split(slot_caches)[1], nxt
+            # fold the decode-input refresh into the same dispatch: an
+            # admission is ONE device program, not prefill + 2 scatter RPCs
+            return (nnx.split(slot_caches)[1],
+                    dtoks.at[b, 0].set(nxt),
+                    dtemps.at[b].set(temp), nxt)
 
         self._prefill_fns[(bucket, sampling)] = prefill
         return prefill
@@ -355,9 +359,9 @@ class ContinuousBatchingEngine:
         top_k = self.top_k
         import functools
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def finalize(cstate, cache_state, b, true_len, logits, pos_in_chunk,
-                     key=None, temp=None):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def finalize(cstate, dtoks, dtemps, cache_state, b, true_len,
+                     logits, pos_in_chunk, temp, key=None):
             slot_caches = nnx.merge(gd_c, cstate)
             caches = nnx.merge(cache_def, cache_state)
             boundary = jax.lax.dynamic_slice_in_dim(
@@ -368,7 +372,9 @@ class ContinuousBatchingEngine:
             else:
                 nxt = _greedy(boundary)[0]
             _write_rows(slot_caches, b, caches, true_len, quantized)
-            return nnx.split(slot_caches)[1], nxt
+            return (nnx.split(slot_caches)[1],
+                    dtoks.at[b, 0].set(nxt),
+                    dtemps.at[b].set(temp), nxt)
 
         self._finalize_fns[(cap, sampling)] = finalize
         return finalize
@@ -405,18 +411,20 @@ class ContinuousBatchingEngine:
             # slot in one dispatch; the token's readback rides _pending
             pos_in_chunk = req.prompt.size - 1 - (st.filled - C)
             sampled = req.temperature > 0.0
-            args = (cstate, st.cache_state, jnp.int32(b),
-                    jnp.int32(req.prompt.size), st.last_logits,
-                    pos_in_chunk)
+            args = (cstate, self._dtoks, self._dtemps, st.cache_state,
+                    jnp.int32(b), jnp.int32(req.prompt.size),
+                    st.last_logits, pos_in_chunk,
+                    np.float32(req.temperature))
             if sampled:
                 self._key, sub = jax.random.split(self._key)
-                args += (sub, jnp.float32(req.temperature))
-            cstate, nxt = self._finalize_fn(st.cap, sampled)(*args)
+                args += (sub,)
+            cstate, self._dtoks, self._dtemps, nxt = (
+                self._finalize_fn(st.cap, sampled)(*args)
+            )
             self._dstate = (mstate, cstate)
             slot = self.slots[b]
             slot.request = req
             slot.generated = []
-            self._admit_inputs(b, nxt, req.temperature)
             self._pending.append(("prefill", nxt, b, req.request_id))
             del self._prefilling[b]
 
@@ -440,19 +448,23 @@ class ContinuousBatchingEngine:
                 self._dstate = self._split_live()
             mstate, cstate = self._dstate
             sampled = req.temperature > 0.0
-            args = (mstate, cstate, jnp.int32(b), jnp.asarray(ids),
-                    req.prompt.size)
+            # ids ride the dispatch as a raw np array (no separate upload
+            # round trip); toks/temps refresh happens inside the program
+            args = (mstate, cstate, self._dtoks, self._dtemps,
+                    jnp.int32(b), ids, req.prompt.size,
+                    np.float32(req.temperature))
             if sampled:
                 self._key, sub = jax.random.split(self._key)
-                args += (sub, jnp.float32(req.temperature))
-            # prefill + slot install in ONE async dispatch; the next
-            # token's readback is deferred through _pending (an admission
-            # costs ZERO host syncs)
-            cstate, nxt = self._prefill_fn(bucket, sampled)(*args)
+                args += (sub,)
+            # prefill + slot install + decode-input refresh in ONE async
+            # dispatch; the next token's readback is deferred through
+            # _pending (an admission costs ZERO host syncs)
+            cstate, self._dtoks, self._dtemps, nxt = (
+                self._prefill_fn(bucket, sampled)(*args)
+            )
             self._dstate = (mstate, cstate)
             slot.request = req
             slot.generated = []
-            self._admit_inputs(b, nxt, req.temperature)
             self._pending.append(("prefill", nxt, b, req.request_id))
 
     # ------------------------------------------------------------- decode
@@ -619,15 +631,6 @@ class ContinuousBatchingEngine:
                     self._apply_oldest()
         return self.finished[n_done:]
 
-    def _admit_inputs(self, b: int, nxt, temperature: float) -> None:
-        """Refresh the device-resident decode inputs for one admitted slot.
-        With pipelined readback the host's view of OTHER slots' last tokens
-        lags the in-flight steps, so rebuilding ``_dtoks`` host-side would
-        clobber them; update only this slot's entries on device (tiny async
-        dispatches, no sync — ``nxt`` is the prefill's device scalar)."""
-        self._dtoks = self._dtoks.at[b, 0].set(nxt)
-        self._dtemps = self._dtemps.at[b].set(temperature)
-
     def _dispatch(self, burst: int, sampling: bool):
         """Issue one decode dispatch on the device-resident state; returns
         the (not yet read back) [B, burst] token array."""
@@ -771,9 +774,9 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
 
         masked = self._masked_encoder
 
-        @functools.partial(jax.jit, donate_argnums=1)
-        def prefill(model_state, cstate, b, feats, ids, true_len, enc_len,
-                    key=None, temp=None):
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def prefill(model_state, cstate, dtoks, dtemps, b, feats, ids,
+                    true_len, enc_len, temp, key=None):
             mod = nnx.merge(graphdef, model_state)
             slot_caches = nnx.merge(gd_c, cstate)
             caches = mod.init_cache(1, bucket, quantized=quantized)
@@ -797,7 +800,9 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
             else:
                 nxt = _greedy(boundary)[0]
             _write_rows(slot_caches, b, caches, true_len, quantized)
-            return nnx.split(slot_caches)[1], enc[0], nxt
+            return (nnx.split(slot_caches)[1],
+                    dtoks.at[b, 0].set(nxt),
+                    dtemps.at[b].set(temp), enc[0], nxt)
 
         self._prefill_fns[(bucket, sampling)] = prefill
         return prefill
@@ -824,12 +829,15 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
                 self._dstate = self._split_live()
             mstate, cstate = self._dstate
             sampled = req.temperature > 0.0
-            args = (mstate, cstate, jnp.int32(b), jnp.asarray(feats[None]),
-                    jnp.asarray(ids), req.prompt.size, enc_len)
+            args = (mstate, cstate, self._dtoks, self._dtemps,
+                    jnp.int32(b), feats[None], ids, req.prompt.size,
+                    enc_len, np.float32(req.temperature))
             if sampled:
                 self._key, sub = jax.random.split(self._key)
-                args += (sub, jnp.float32(req.temperature))
-            cstate, enc_row, nxt = self._prefill_fn(bucket, sampled)(*args)
+                args += (sub,)
+            cstate, self._dtoks, self._dtemps, enc_row, nxt = (
+                self._prefill_fn(bucket, sampled)(*args)
+            )
             self._enc_lens[b] = enc_len
             if self._enc is None:
                 self._enc = jnp.zeros(
@@ -839,7 +847,6 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
             self._dstate = (mstate, cstate)
             slot.request = req
             slot.generated = []
-            self._admit_inputs(b, nxt, req.temperature)
             self._pending.append(("prefill", nxt, b, req.request_id))
 
     # ------------------------------------------------------------- decode

@@ -56,6 +56,7 @@ def main():
     prompt_len = arg("--prompt", 96)
     gen_len = arg("--gen", 64)
     chunk = arg("--chunk", 0) or None  # chunked-prefill admission
+    depth = arg("--depth", 1)  # in-flight decode steps (pipelined readback)
 
     cfg = {"opt-125m": OPTConfig.opt_125m, "opt-350m": OPTConfig.opt_350m,
            "opt-1.3b": OPTConfig.opt_1_3b}[name]()
@@ -83,7 +84,7 @@ def main():
     eng = ContinuousBatchingEngine(
         model, max_slots=slots, max_len=prompt_len + gen_len + burst,
         prompt_buckets=(prompt_len,), quantized_kv=quantized_kv,
-        prefill_chunk=chunk,
+        prefill_chunk=chunk, pipeline_depth=depth,
     )
     prompts = [
         rng.integers(1, cfg.vocab_size, (prompt_len,)).astype(np.int32)
@@ -136,6 +137,9 @@ def main():
         "slots": slots,
         "burst": burst,
         "prefill_chunk": chunk,
+        "pipeline_depth": depth,
+        "prompt_len": prompt_len,
+        "gen_len": gen_len,
         "requests": len(eng.finished),
         "slot_utilization": round(busy_slot_steps / max(total_slot_steps, 1), 3),
         "p50_step_ms": round(float(st[len(st) // 2]) * 1e3, 2),

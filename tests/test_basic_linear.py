@@ -18,6 +18,7 @@ from dmx_compressor_tpu.ops.basic_linear import (
     _bfp_cast_with_exponents,
     _fp16_cast_f32,
     block_exponents,
+    cast_blocked_lastdim,
     fused_basic_linear,
 )
 from dmx_compressor_tpu.ops.bfp_pack import bfp_pack, bfp_unpack
@@ -52,8 +53,42 @@ class TestFp16Emulation:
             np.asarray(y), np.asarray(y.astype(jnp.float16).astype(jnp.float32))
         )
 
+    def test_native_convert_matches_emulated_on_halfway_points(self):
+        """r5 replaced the bit-manipulation emulation with the native
+        f32->f16->f32 convert pair; exact halfway points between fp16 grid
+        values are where any rounding-mode mismatch would show."""
+        from dmx_compressor_tpu.ops.basic_linear import _fp16_cast_f32_emulated
+
+        base = jnp.concatenate([
+            jnp.float32(2.0) ** jnp.arange(-14, 15),
+            -(jnp.float32(2.0) ** jnp.arange(-14, 15)),
+        ])
+        # x = grid + exactly half a ulp (fp16 ulp at |x| in [2^e, 2^(e+1))
+        # is 2^(e-10)); both round-to-even directions appear
+        for mant in (0.0, 1.0 / 1024, 2.0 / 1024, 3.0 / 1024):
+            x = base * (1.0 + mant + 0.5 / 1024)
+            np.testing.assert_array_equal(
+                np.asarray(_fp16_cast_f32(x)),
+                np.asarray(_fp16_cast_f32_emulated(x)),
+            )
+        x = jnp.concatenate([_rand(13, (8192,), s) for s in
+                             (1e-8, 1e-4, 1.0, 1e4, 1e8)])
+        np.testing.assert_array_equal(
+            np.asarray(_fp16_cast_f32(x)),
+            np.asarray(_fp16_cast_f32_emulated(x)),
+        )
+
 
 class TestBfpCastWithExponents:
+    @pytest.mark.parametrize("scale", [1.0, 1e-4, 1e4, 1e-35, 1e35])
+    def test_bit_exact_vs_lastdim_extreme(self, scale):
+        """Extreme block exponents exercise the |k| > 126 two-multiply
+        range splits in the r5 block-shaped pow2 rewrite."""
+        x = _rand(17, (4, 256), scale)
+        out = cast_blocked_lastdim(x, 64, 16)
+        ref = block_quantize_lastdim(x, 16, 64)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     @pytest.mark.parametrize("scale", [1.0, 1e-4, 1e4])
     def test_bit_exact_vs_lastdim(self, scale):
         x = _rand(11, (8, 256), scale)
