@@ -176,8 +176,9 @@ class GPT2Block(nnx.Module):
             in_block=plan.block,
             residual=x,
             emit_pre=True,
+            input_on_grid=True,  # y: out-projection's FLOAT16 output cast
         )
-        h = gelu_tanh_fp16(h)
+        h = gelu_tanh_fp16(h, on_grid=True)  # h: fc1's FLOAT16 out
         fc2 = self.mlp.c_proj
         return fused_basic_linear(
             h,
@@ -188,6 +189,7 @@ class GPT2Block(nnx.Module):
             in_block=plan.block,
             out_fp16=True,
             res_out=r,
+            res_on_grid=True,  # r: resadd's FLOAT16 output cast
         )
 
 
@@ -260,6 +262,8 @@ class GPT2LMHeadModel(nnx.Module):
                     eps=plan.ln_eps,
                     wl=plan.wl,
                     in_block=plan.block,
+                    # h: decoder's final residual, FLOAT16 resadd out
+                    input_on_grid=True,
                 )
         h = self.transformer(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)

@@ -380,6 +380,7 @@ class OPTDecoderLayer(nnx.Module):
             residual=x,
             relu=True,
             emit_pre=True,
+            input_on_grid=True,  # y: out-projection's FLOAT16 output cast
         )
         fc2 = self.fc2
         return fused_basic_linear(
@@ -391,6 +392,7 @@ class OPTDecoderLayer(nnx.Module):
             in_block=plan.block,
             out_fp16=True,
             res_out=r,
+            res_on_grid=True,  # r: resadd's FLOAT16 output cast
         )
 
 
@@ -482,6 +484,8 @@ class OPTForCausalLM(nnx.Module):
                     eps=plan.ln_eps,
                     wl=plan.wl,
                     in_block=plan.block,
+                    # h: decoder's final residual, FLOAT16 resadd out
+                    input_on_grid=True,
                 )
         h = self.model(input_ids, caches=caches, position_offset=position_offset)
         return self.lm_head(h)

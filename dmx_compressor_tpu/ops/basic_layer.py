@@ -45,11 +45,17 @@ Array = jax.Array
 
 
 def layer_norm_surrogate_fp16(x: Array, ln_w: Array, ln_b: Array,
-                              eps: float) -> Array:
+                              eps: float, on_grid: bool = False) -> Array:
     """FLOAT16 input cast + LAYER_NORM[vsimd] surrogate
     (functional/simd_ops.layer_norm, tile_size=None, incl. the
-    Newton-refined rsqrt) + FLOAT16 output cast, inline."""
-    x16 = _fp16_cast_f32(x.astype(jnp.float32))
+    Newton-refined rsqrt) + FLOAT16 output cast, inline.  ``on_grid``
+    skips the input cast when the producer provably emitted fp16-grid
+    values (a FLOAT16 output cast) — bit-identical, the cast is an
+    identity there (r5: each skipped cast saves ~15 elementwise ops and a
+    fusion boundary on the dispatch-bound decode path)."""
+    x16 = x.astype(jnp.float32)
+    if not on_grid:
+        x16 = _fp16_cast_f32(x16)
     mean = jnp.mean(x16, axis=-1, keepdims=True)
     d = x16 - mean
     var = jnp.mean(jnp.square(d), axis=-1, keepdims=True)
@@ -59,13 +65,19 @@ def layer_norm_surrogate_fp16(x: Array, ln_w: Array, ln_b: Array,
     return _fp16_cast_f32(y)
 
 
-def resadd_fp16(a: Array, b: Array) -> Array:
+def resadd_fp16(a: Array, b: Array, a_on_grid: bool = False,
+                b_on_grid: bool = False) -> Array:
     """ResAdd under the BASIC rule set: FLOAT16 casts on both inputs, add,
-    FLOAT16 output cast (reference torch_modules.py:15-64)."""
-    return _fp16_cast_f32(
-        _fp16_cast_f32(a.astype(jnp.float32))
-        + _fp16_cast_f32(b.astype(jnp.float32))
-    )
+    FLOAT16 output cast (reference torch_modules.py:15-64).  The
+    ``*_on_grid`` flags skip input casts that are identities (producer
+    already emitted fp16-grid values)."""
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    if not a_on_grid:
+        af = _fp16_cast_f32(af)
+    if not b_on_grid:
+        bf = _fp16_cast_f32(bf)
+    return _fp16_cast_f32(af + bf)
 
 
 def fused_ln_linear(
@@ -83,6 +95,8 @@ def fused_ln_linear(
     relu: bool = False,
     emit_pre: bool = False,
     interpret: Optional[bool] = None,
+    input_on_grid: bool = False,
+    residual_on_grid: bool = False,
 ):
     """[resadd ->] LN-surrogate -> BFP cast -> dequant matmul -> bias ->
     FLOAT16 [-> ReLU], tight inline jnp (XLA fuses the whole chain into a
@@ -93,10 +107,13 @@ def fused_ln_linear(
     ReLU module's own FLOAT16 casts are value-identity on fp16-grid inputs.
     """
     h = x
+    on_grid = input_on_grid
     if residual is not None:
-        h = resadd_fp16(h, residual)
+        h = resadd_fp16(h, residual, a_on_grid=input_on_grid,
+                        b_on_grid=residual_on_grid)
+        on_grid = True  # resadd's FLOAT16 output cast just ran
     pre = h
-    h = layer_norm_surrogate_fp16(h, ln_w, ln_b, eps)
+    h = layer_norm_surrogate_fp16(h, ln_w, ln_b, eps, on_grid=on_grid)
     y = fused_basic_linear(
         h,
         w_bf16=w_bf16,
@@ -113,11 +130,15 @@ def fused_ln_linear(
         return y, pre.astype(x.dtype)
     return y
 
-def rms_norm_surrogate_fp16(x: Array, w: Array, eps: float) -> Array:
+def rms_norm_surrogate_fp16(x: Array, w: Array, eps: float,
+                            on_grid: bool = False) -> Array:
     """FLOAT16 input cast + RMS_NORM[vsimd] surrogate
     (functional/simd_ops.rms_norm, tile_size=None, incl. the Newton-refined
-    rsqrt) + FLOAT16 output cast, inline."""
-    x16 = _fp16_cast_f32(x.astype(jnp.float32))
+    rsqrt) + FLOAT16 output cast, inline.  ``on_grid`` as in
+    :func:`layer_norm_surrogate_fp16`."""
+    x16 = x.astype(jnp.float32)
+    if not on_grid:
+        x16 = _fp16_cast_f32(x16)
     ms = jnp.mean(jnp.square(x16), axis=-1, keepdims=True)
     r0 = jax.lax.rsqrt(ms + eps)
     rr = r0 * (1.5 - 0.5 * (ms + eps) * r0 * r0)
@@ -136,32 +157,41 @@ def _poly2exp_fp32(x: Array, kmax: int = 15) -> Array:
     return jnp.where(k_raw < -kmax, 0.0, p * jnp.exp2(k))
 
 
-def silu_surrogate_fp16(x: Array, kmax: int = 15) -> Array:
+def silu_surrogate_fp16(x: Array, kmax: int = 15,
+                        on_grid: bool = False) -> Array:
     """FLOAT16 input cast + SILU[vsimd] surrogate (x * sigmoid(x) with the
     poly2 exponential, functional/simd_ops.silu) + FLOAT16 output cast."""
-    x16 = _fp16_cast_f32(x.astype(jnp.float32))
+    x16 = x.astype(jnp.float32)
+    if not on_grid:
+        x16 = _fp16_cast_f32(x16)
     e = _poly2exp_fp32(-jnp.abs(x16), kmax)
     pos = 1.0 / (1.0 + e)
     sig = jnp.where(x16 >= 0, pos, 1.0 - pos)
     return _fp16_cast_f32(x16 * sig)
 
 
-def gelu_tanh_fp16(x: Array) -> Array:
+def gelu_tanh_fp16(x: Array, on_grid: bool = False) -> Array:
     """FLOAT16 input cast + exact tanh-GELU + FLOAT16 output cast: the BASIC
     rule set leaves GELUBase at approximation NONE (__init__.py
     default_approx.GELU), so the module computes the raw function between
     its FLOAT16 io casts (Gemma's ``gelu_pytorch_tanh`` MLP)."""
-    x16 = _fp16_cast_f32(x.astype(jnp.float32))
+    x16 = x.astype(jnp.float32)
+    if not on_grid:
+        x16 = _fp16_cast_f32(x16)
     return _fp16_cast_f32(jax.nn.gelu(x16, approximate=True))
 
 
-def rope_surrogate_fp16(q: Array, k: Array, cos: Array, sin: Array):
+def rope_surrogate_fp16(q: Array, k: Array, cos: Array, sin: Array,
+                        qk_on_grid: bool = False):
     """ApplyRotaryPosEmb under the BASIC rule set: FLOAT16 casts on all four
     inputs, the APPLY_LLAMA_ROPE[vsimd] surrogate (rotate-half in fp32,
     functional/simd_ops.apply_rotary_pos_emb, unsqueeze_dim=1), FLOAT16
     casts on both outputs."""
-    qf = _fp16_cast_f32(q.astype(jnp.float32))
-    kf = _fp16_cast_f32(k.astype(jnp.float32))
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    if not qk_on_grid:
+        qf = _fp16_cast_f32(qf)
+        kf = _fp16_cast_f32(kf)
     cos_e = jnp.expand_dims(_fp16_cast_f32(cos.astype(jnp.float32)), 1)
     sin_e = jnp.expand_dims(_fp16_cast_f32(sin.astype(jnp.float32)), 1)
 
@@ -187,16 +217,21 @@ def fused_rms_linear(
     residual: Optional[Array] = None,
     emit_pre: bool = False,
     interpret: Optional[bool] = None,
+    input_on_grid: bool = False,
+    residual_on_grid: bool = False,
 ):
     """[resadd ->] RMS-surrogate -> BFP cast -> dequant matmul [-> bias]
     -> FLOAT16 — the RMSNorm-family analogue of :func:`fused_ln_linear`
     (Llama/Mistral/Gemma/Qwen3 layer chains).  With ``emit_pre`` also
     returns the resadd output (the next residual)."""
     h = x
+    on_grid = input_on_grid
     if residual is not None:
-        h = resadd_fp16(h, residual)
+        h = resadd_fp16(h, residual, a_on_grid=input_on_grid,
+                        b_on_grid=residual_on_grid)
+        on_grid = True  # resadd's FLOAT16 output cast just ran
     pre = h
-    h = rms_norm_surrogate_fp16(h, rms_w, eps)
+    h = rms_norm_surrogate_fp16(h, rms_w, eps, on_grid=on_grid)
     y = fused_basic_linear(
         h,
         w_bf16=w_bf16,
@@ -260,10 +295,14 @@ def fused_llama_family_step(layer, x, cos, sin, attn_mask, cache, plan,
     v = attn._split(qkv[..., d + kv :], attn.num_kv_heads)
     if plan.qk_norm_eps is not None:
         # Qwen3 per-head q/k RMSNorm pre-RoPE (over head_dim, elementwise
-        # across heads/positions: layout-independent)
-        q = rms_norm_surrogate_fp16(q, attn.q_norm._weight, plan.qk_norm_eps)
-        k = rms_norm_surrogate_fp16(k, attn.k_norm._weight, plan.qk_norm_eps)
-    q, k = rope_surrogate_fp16(q, k, cos, sin)
+        # across heads/positions: layout-independent).  q/k arrive on the
+        # fp16 grid (qkv's FLOAT16 output cast), so the input casts are
+        # identities and skipped; same for RoPE's q/k inputs below.
+        q = rms_norm_surrogate_fp16(q, attn.q_norm._weight,
+                                    plan.qk_norm_eps, on_grid=True)
+        k = rms_norm_surrogate_fp16(k, attn.k_norm._weight,
+                                    plan.qk_norm_eps, on_grid=True)
+    q, k = rope_surrogate_fp16(q, k, cos, sin, qk_on_grid=True)
     gqa = attn.num_kv_heads != attn.num_heads
     ctx = cached_attend(attn.sdpa, q, k, v, cache, attn_mask, enable_gqa=gqa,
                         plain_causal=plain_causal)
@@ -281,12 +320,13 @@ def fused_llama_family_step(layer, x, cos, sin, attn_mask, cache, plan,
         in_block=plan.block,
         residual=x,
         emit_pre=True,
+        input_on_grid=True,  # y: o_proj's FLOAT16 output cast
     )
     m = mlp.intermediate_size
     gate = (
-        silu_surrogate_fp16(gu[..., :m])
+        silu_surrogate_fp16(gu[..., :m], on_grid=True)
         if plan.act == "silu"
-        else gelu_tanh_fp16(gu[..., :m])
+        else gelu_tanh_fp16(gu[..., :m], on_grid=True)
     )
     prod = gate * gu[..., m:]  # Mul: SAME
     down = mlp.down_proj
@@ -299,6 +339,7 @@ def fused_llama_family_step(layer, x, cos, sin, attn_mask, cache, plan,
         in_block=plan.block,
         out_fp16=True,
         res_out=r,
+        res_on_grid=True,  # r: resadd's FLOAT16 output cast
     )
 
 
@@ -444,6 +485,9 @@ def fused_rms_head(h, final_norm, lm_head, plan, *, gemma_norm: bool = False):
         eps=plan.ln_eps,
         wl=plan.wl,
         in_block=plan.block,
+        # h is the decoder's final residual: both the fused and the
+        # modular layer paths end in a FLOAT16 resadd output cast
+        input_on_grid=True,
     )
 
 

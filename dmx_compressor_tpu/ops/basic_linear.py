@@ -95,59 +95,43 @@ def _bfp_cast_with_exponents(xf: Array, e_full: Array, wl: int) -> Array:
     Bit-identical to rounding.block_quantize_lastdim on non-sentinel blocks;
     ``e_full`` == -128 marks zero blocks (passthrough).
 
-    Every power-of-two factor is computed on the EXPONENT-shaped array
-    (one scalar per block) and broadcast only at the final multiplies, so
-    the per-element work is ~13 fused elementwise ops instead of ~45 (the
-    old form ran the 8-op _mul_pow2 chain at full tensor width five
-    times).  The two-multiply (f2 then f1) application of each 2^k keeps
-    the |k| > 126 cases exact — identical op order to R._mul_pow2, so the
-    result is bit-identical."""
+    r5 note: a "cheaper" variant computing every pow2 factor on the
+    block-shaped exponent array and broadcasting only the final multiplies
+    measured FASTER in an isolated microbenchmark but cost qwen3-0.6b
+    BASIC decode 37% end to end (1,037 vs 1,644 tok/s) — the mixed-shape
+    factor chains break XLA's elementwise fusions around every cast site.
+    On the dispatch-bound decode path, fusion structure beats jaxpr op
+    count; keep this form full-width."""
     zero = e_full == -128.0
     e = jnp.where(zero, 0.0, e_full).astype(jnp.int32)
-
-    def pow2_pair(k):
-        """(f2, f1) with f2*f1 == 2^k exactly, each in fp32 range."""
-        k1 = jnp.clip(k, -126, 126)
-        return R._pow2f(k - k1), R._pow2f(k1)
-
-    s2, s1 = pow2_pair(wl - 2 - e)   # x -> integer grid
-    i2, i1 = pow2_pair(e + 2 - wl)   # back
-    b2, b1 = pow2_pair(e + 2)        # rebase offset 6*2^e = 1.5*2^(e+2)
-    base = 1.5 * b2 * b1
+    base = R._mul_pow2(jnp.full_like(xf, 1.5), e + 2)  # 6 * 2^e, exact
     t = xf + base  # fp32 add: reference double rounding
-    q = jnp.round(t * s2 * s1)  # bitwise nearest-even; t > 0
-    q = q * i2 * i1 - base
-    l2, l1 = pow2_pair(e + 1)
-    lim = l2 * l1
-    m2, m1 = pow2_pair(e)
-    maxv = (2.0 - 2.0 ** (-(wl - 2))) * m2 * m1
+    scaled = R._mul_pow2(t, wl - 2 - e)
+    q = jnp.round(scaled)  # bitwise nearest-even; t > 0
+    q = R._mul_pow2(q, e + 2 - wl) - base
+    lim = R._mul_pow2(jnp.ones_like(xf), e + 1)
+    maxv = (2.0 - 2.0 ** (-(wl - 2))) * R._mul_pow2(jnp.ones_like(xf), e)
     q = jnp.where(jnp.abs(q) >= lim, jnp.sign(q) * maxv, q)
     return jnp.where(zero, xf, q)
 
 
 def _fp16_cast_f32(y: Array) -> Array:
-    """FLOAT16 fast path (format.py FloatingPoint.cast): clip to +-65504,
-    round-nearest-even onto the fp16 grid, flush below the smallest normal.
+    """f32 emulation of the FLOAT16 fast path (format.py FloatingPoint.cast):
+    clip to +-65504, round-nearest-even onto the fp16 grid, flush below the
+    smallest normal.  Bit-exact vs clip().astype(f16) + subnormal flush.
 
-    Implemented with the NATIVE f32->f16->f32 convert pair (hardware
-    round-nearest-even — bit-identical to the bit-manipulation emulation,
-    tests/test_basic_linear.py::test_fp16_cast_matches_reference_grid).
-    This cast runs ~10x per layer on the fused BASIC decode path; the old
-    emulation was ~20 jaxpr ops per call and made the BASIC decode body
-    20x the op count of the fp32 baseline (the round-5 Qwen3/125m
-    dispatch-bound gap)."""
-    y = jnp.clip(y.astype(jnp.float32), -65504.0, 65504.0)
-    q = y.astype(jnp.float16).astype(jnp.float32)
-    return jnp.where(jnp.abs(q) < jnp.float32(6.103515625e-05), 0.0, q)
-
-
-def _fp16_cast_f32_emulated(y: Array) -> Array:
-    """The pre-r5 bit-manipulation form, kept as the parity oracle."""
+    Deliberately NOT the native f32->f16->f32 convert pair: measured on the
+    chip (r5), the f16 converts split XLA's elementwise fusions around every
+    cast site and cost qwen3-0.6b BASIC decode 35% (1,069 vs 1,644 tok/s)
+    even though the convert pair wins an isolated microbenchmark — the
+    arithmetic emulation stays inside one fusion with its neighbors."""
     y = jnp.clip(y, -65504.0, 65504.0)
     e = jnp.maximum(R._exponent_of(y), -14)
     scaled = R._mul_pow2(y, 10 - e)  # |scaled| <= 2048: exact
     q = R._mul_pow2(jnp.round(scaled), e - 10)
     return jnp.where(jnp.abs(q) < jnp.float32(6.103515625e-05), 0.0, q)
+
+
 
 
 def _exponent_with_sentinel(amax: Array) -> Array:
@@ -165,9 +149,7 @@ def cast_blocked_lastdim(x: Array, block: int, wl: int) -> Array:
     sh = x.shape
     xr = x.astype(jnp.float32).reshape(*sh[:-1], sh[-1] // block, block)
     amax = jnp.max(jnp.abs(xr), axis=-1, keepdims=True)
-    # exponents stay block-shaped [..., nb, 1]; _bfp_cast_with_exponents
-    # broadcasts only its final multiplies
-    e = _exponent_with_sentinel(amax)
+    e = jnp.broadcast_to(_exponent_with_sentinel(amax), xr.shape)
     return _bfp_cast_with_exponents(xr, e, wl).reshape(sh)
 
 
@@ -182,6 +164,7 @@ def fused_basic_linear(
     in_block: Optional[int] = None,
     out_fp16: bool = False,
     res_out: Optional[Array] = None,
+    res_on_grid: bool = False,
     interpret: Optional[bool] = None,
 ) -> Array:
     """One-kernel fake-quant linear: y = fp16(cast_bfp(x) @ W_deq.T + b).
@@ -216,8 +199,12 @@ def fused_basic_linear(
     if out_fp16:
         y = _fp16_cast_f32(y)
     if res_out is not None:
-        # ResAdd epilogue: both inputs already on the fp16 grid, so the
-        # module's input casts are value-identity; only the output cast
-        # reapplies (reference torch_modules.py:15-64, BASIC rule set)
-        y = _fp16_cast_f32(y + _fp16_cast_f32(res_out.reshape(-1, N)))
+        # ResAdd epilogue: y is on the fp16 grid (out_fp16 just ran), so
+        # its input cast is value-identity; only the output cast reapplies
+        # (reference torch_modules.py:15-64, BASIC rule set).  res_on_grid
+        # additionally skips the residual-side identity cast.
+        r = res_out.reshape(-1, N)
+        if not res_on_grid:
+            r = _fp16_cast_f32(r)
+        y = _fp16_cast_f32(y + r)
     return y.reshape(*lead, N).astype(x.dtype)

@@ -54,10 +54,17 @@ class TestFp16Emulation:
         )
 
     def test_native_convert_matches_emulated_on_halfway_points(self):
-        """r5 replaced the bit-manipulation emulation with the native
-        f32->f16->f32 convert pair; exact halfway points between fp16 grid
-        values are where any rounding-mode mismatch would show."""
-        from dmx_compressor_tpu.ops.basic_linear import _fp16_cast_f32_emulated
+        """The native f32->f16->f32 convert pair is a hardware oracle for
+        the emulation's round-nearest-even; exact halfway points between
+        fp16 grid values are where any rounding-mode mismatch would show.
+        (r5 note: the native pair is NOT used in production — it splits XLA
+        fusions on TPU — but it must agree bit-for-bit.)"""
+        def _fp16_cast_f32_emulated(y):
+            y = jnp.clip(y.astype(jnp.float32), -65504.0, 65504.0)
+            q = y.astype(jnp.float16).astype(jnp.float32)
+            return jnp.where(
+                jnp.abs(q) < jnp.float32(6.103515625e-05), 0.0, q
+            )
 
         base = jnp.concatenate([
             jnp.float32(2.0) ** jnp.arange(-14, 15),
