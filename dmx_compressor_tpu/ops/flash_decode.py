@@ -58,7 +58,7 @@ FLASH_DECODE_MIN_S_INT8 = int(
 
 # KV heads per grid step (see _decode_grid_call): amortizes the fixed
 # per-grid-step cost across heads.  Tunable for the hardware A/B sweeps.
-FLASH_DECODE_BLOCK_H = int(os.environ.get("DMX_FLASH_DECODE_BLOCK_H", "4"))
+FLASH_DECODE_BLOCK_H = int(os.environ.get("DMX_FLASH_DECODE_BLOCK_H", "8"))
 
 # Upper bound for _pick_block_k's grown K block.  Decode is grid-overhead
 # bound until the per-step DMA is several us long, so the sweet spot is the
@@ -67,7 +67,7 @@ FLASH_DECODE_BLOCK_H = int(os.environ.get("DMX_FLASH_DECODE_BLOCK_H", "4"))
 # against (block_h * D * block_k) bytes of stream (tools/diag_decode_ab.py
 # sweep mode drives this).
 FLASH_DECODE_MAX_BLOCK_K = int(
-    os.environ.get("DMX_FLASH_DECODE_BLOCK_K", "512")
+    os.environ.get("DMX_FLASH_DECODE_BLOCK_K", "2048")
 )
 
 
@@ -275,6 +275,33 @@ def _pick_block_h(Hkv: int, block_h: int) -> int:
     return g
 
 
+# Double-buffered K+V tile budget in scoped VMEM.  The hardware limit is
+# 16 MB; a 12x64x512 fp32 (block_h x D x block_k) combo measured 24 MB and
+# failed compile, so the picker clamps tiles to this budget.
+FLASH_DECODE_VMEM_BUDGET = int(
+    os.environ.get("DMX_FLASH_DECODE_VMEM_BUDGET", str(8 * 2**20))
+)
+
+
+def _pick_blocks(S: int, Hkv: int, D: int, itemsize: int,
+                 block_k: int, block_h: int):
+    """(block_k, block_h) for the decode grid: grow the K block to
+    max_block, take the largest divisor-of-Hkv head group, then shrink
+    until the double-buffered K+V tiles fit the scoped-VMEM budget.
+    Decode is grid-overhead bound (~1 us fixed cost per grid step against
+    block_h*D*block_k bytes of stream), so bigger tiles win until VMEM."""
+    bk = _pick_block_k(S, block_k)
+    g = _pick_block_h(Hkv, block_h)
+    while 2 * 2 * g * D * bk * itemsize > FLASH_DECODE_VMEM_BUDGET:
+        if bk > 128 and S % (bk // 2) == 0:
+            bk //= 2
+        elif g > 1:
+            g = _pick_block_h(Hkv, g - 1)
+        else:
+            break
+    return bk, g
+
+
 def _decode_grid_call(
     q, k, v, k_s, v_s, lengths, scale, block_k, rep, s_minor, interpret,
     block_h: int = 1,
@@ -462,7 +489,9 @@ def flash_decode(
     scale = (D**-0.5) if scale is None else float(scale)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu" or interpret
-    bk = _pick_block_k(S, block_k)
+    bk, bh = _pick_blocks(
+        S, k.shape[1], D, 4, block_k, FLASH_DECODE_BLOCK_H
+    )
     if not use_pallas or S % bk != 0:
         if s_minor:
             k, v = k.swapaxes(-1, -2), v.swapaxes(-1, -2)
@@ -471,7 +500,7 @@ def flash_decode(
     fn = _decode_pallas_T if s_minor else _decode_pallas
     return fn(
         q, k, v, _lengths_2d(lengths, B).reshape(B), scale, bk, rep,
-        interpret=interpret, block_h=FLASH_DECODE_BLOCK_H,
+        interpret=interpret, block_h=bh,
     )
 
 
@@ -559,11 +588,11 @@ def flash_decode_int8(
     scale = (D**-0.5) if scale is None else float(scale)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu" or interpret
-    bk = _pick_block_k(S, block_k)
+    Hkv = kv.k_q.shape[1]
+    bk, bh = _pick_blocks(S, Hkv, D, 1, block_k, FLASH_DECODE_BLOCK_H)
     if not use_pallas or S % bk != 0:
         return flash_decode_int8_ref(q, kv, lengths, scale)
-    rep = H // kv.k_q.shape[1]
-    Hkv = kv.k_q.shape[1]
+    rep = H // Hkv
     fn = _decode_int8_pallas_T if kv.s_minor else _decode_int8_pallas
     return fn(
         q, kv.k_q, kv.v_q,
@@ -571,5 +600,5 @@ def flash_decode_int8(
         kv.v_scale.astype(jnp.float32).reshape(B, Hkv, 1, S),
         _lengths_2d(lengths, B).reshape(B),
         scale, bk, rep, interpret=interpret,
-        block_h=FLASH_DECODE_BLOCK_H,
+        block_h=bh,
     )

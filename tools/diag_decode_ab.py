@@ -113,6 +113,21 @@ def sweep(which: str, Ss):
             for bh in (2, 4, 6, 8, 12, 16, 32):
                 if Hkv % bh:
                     continue
+                # double-buffered K+V tiles must fit scoped VMEM (~16 MB;
+                # a 12x64x512 fp32 combo measured 24 MB and failed compile)
+                fp_tile = 2 * 2 * bh * D * bk * 4
+                i8_tile = 2 * 2 * bh * D * bk * 1
+                if fp_tile > 12e6 and i8_tile > 12e6:
+                    continue
+                if fp_tile > 12e6:
+                    timeit(
+                        f"  int8 bk={bk:4d} bh={bh:2d}",
+                        lambda c, kq_, vq_, ks_, vs_, le, bk=bk, bh=bh:
+                        fd._decode_int8_pallas_T(
+                            c, kq_, vq_, ks_, vs_, le, scale, bk, rep,
+                            block_h=bh),
+                        q, kqT, vqT, ksr, vsr, lengths)
+                    continue
                 timeit(
                     f"  fp   bk={bk:4d} bh={bh:2d}",
                     lambda c, k_, v_, le, bk=bk, bh=bh: fd._decode_pallas_T(

@@ -1,0 +1,166 @@
+"""Per-step time attribution for OPT-125m weights+int8KV decode (the
+headline config) — VERDICT r4 #6: either raise 125m decode utilization to
+>= 0.45 or commit a breakdown that sums to the measured step.
+
+Times every component of one decode step standalone with the marginal
+method (1-deep vs 4-deep chained fori_loop bodies, delta/3 — cancels the
+per-iteration floor of the tunneled platform), then compares the sum to
+the measured end-to-end step time from bench.py.
+
+Usage: python tools/diag_step_attribution.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+ITERS = 100
+
+
+def t_loop(f, reps, *args):
+    def loop(x, others):
+        def body(i, c):
+            for _ in range(reps):
+                c = f(c, *others)
+            return c
+        return jax.lax.fori_loop(0, ITERS, body, x)
+
+    jl = jax.jit(loop)
+    out = jl(args[0], args[1:]); _ = float(jnp.sum(out))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jl(args[0], args[1:]); _ = float(jnp.sum(out))
+        best = min(best, time.perf_counter() - t0)
+    return best / ITERS
+
+
+def marginal(name, f, *args):
+    t1 = t_loop(f, 1, *args)
+    t4 = t_loop(f, 4, *args)
+    us = (t4 - t1) / 3 * 1e6
+    print(f"{name:34s} {us:8.1f} us", flush=True)
+    return max(us, 0.0)
+
+
+def main():
+    from dmx_compressor_tpu.ops.kv_cache import (
+        QuantKV, QuantizedKVCache, quantized_sdpa,
+    )
+
+    # OPT-125m decode shapes at the headline config (batch 8, ctx ~192;
+    # bf16 dequant-cache weights, int8 KV)
+    B, d, ffn, H, Dh, S, V = 8, 768, 3072, 12, 64, 192, 50272
+    L = 12
+    rng = np.random.default_rng(0)
+
+    def arr(*shape, s=0.5):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    def warr(*shape):
+        return jnp.asarray(
+            rng.standard_normal(shape) * 0.05, jnp.bfloat16
+        )
+
+    x = arr(B, d)
+    comps = {}
+
+    # matmuls (bf16 dequant-cache weights, the per-layer policy)
+    w_qkv = warr(3 * d, d)
+    comps["qkv matmul [d,3d]"] = marginal(
+        "qkv matmul [768->2304]",
+        lambda c, w: jnp.matmul(c.astype(jnp.bfloat16), w.T,
+                                preferred_element_type=jnp.float32)[:, :d],
+        x, w_qkv)
+    w_o = warr(d, d)
+    comps["out_proj [d,d]"] = marginal(
+        "out_proj [768->768]",
+        lambda c, w: jnp.matmul(c.astype(jnp.bfloat16), w.T,
+                                preferred_element_type=jnp.float32),
+        x, w_o)
+    w_fc1 = warr(ffn, d)
+    comps["fc1 [d,ffn]"] = marginal(
+        "fc1 [768->3072]",
+        lambda c, w: jnp.matmul(c.astype(jnp.bfloat16), w.T,
+                                preferred_element_type=jnp.float32)[:, :d],
+        x, w_fc1)
+    w_fc2 = warr(d, ffn)
+    xf = arr(B, ffn)
+    comps["fc2 [ffn,d]"] = marginal(
+        "fc2 [3072->768]",
+        lambda c, w: jnp.pad(jnp.matmul(
+            c.astype(jnp.bfloat16), w.T,
+            preferred_element_type=jnp.float32), ((0, 0), (0, ffn - d))),
+        xf, w_fc2)
+
+    # attention: int8 quantized_sdpa at S=192 (the einsum path below the
+    # flash floor) + the cache append
+    q = arr(B, H, 1, Dh)
+    k = arr(B, H, S, Dh, s=0.3)
+    kq, ks = QuantizedKVCache._quantize(k)
+    vq, vs = QuantizedKVCache._quantize(k)
+    mask = jnp.zeros((B, 1, 1, S), jnp.float32)
+
+    def attn(c, kq_, vq_, ks_, vs_, m):
+        kv = QuantKV(kq_, vq_, ks_, vs_, s_minor=False)
+        return quantized_sdpa(c, kv, attn_mask=m, scale=Dh**-0.5)
+
+    comps["attention (qsdpa S=192)"] = marginal(
+        "attention (qsdpa S=192)", attn, q, kq, vq, ks, vs, mask)
+
+    # cache append: per-step quantize + 4 dynamic_update_slices
+    def append(c, buf):
+        kq2, ks2 = QuantizedKVCache._quantize(c)
+        return jax.lax.dynamic_update_slice(
+            buf, kq2.astype(jnp.int8)[..., :1, :], (0, 0, 0, 0)
+        ).astype(jnp.float32)[:, :, :1, :Dh] + c[..., :1, :]
+
+    comps["cache append x2"] = 2 * marginal(
+        "cache append (quantize+DUS)", append, q, kq.astype(jnp.int8))
+
+    # norms / elementwise glue per layer (2 LNs + resadds + pos math)
+    lnw = jnp.ones((d,)); lnb = jnp.zeros((d,))
+    def ln(c, w, b):
+        mu = jnp.mean(c, axis=-1, keepdims=True)
+        df = c - mu
+        v = jnp.mean(df * df, axis=-1, keepdims=True)
+        return df * jax.lax.rsqrt(v + 1e-5) * w + b + c
+    comps["2x layernorm+resadd"] = 2 * marginal(
+        "layernorm+resadd", ln, x, lnw, lnb)
+
+    # LM head + greedy
+    w_head = warr(V, d)
+    def head(c, w):
+        y = jnp.matmul(c.astype(jnp.bfloat16), w.T,
+                       preferred_element_type=jnp.float32)
+        mx = jnp.max(y, axis=-1, keepdims=True)
+        idx = jnp.arange(y.shape[-1], dtype=jnp.int32)
+        t = jnp.max(jnp.where(y == mx, idx, -1), axis=-1)
+        return c + t[:, None].astype(jnp.float32) * 1e-9
+    head_us = marginal("lm head + greedy [768->50272]", head, x, w_head)
+
+    per_layer = sum(comps.values())
+    total = per_layer * L + head_us
+    print("-" * 52)
+    print(f"per-layer sum {per_layer:8.1f} us  x {L} layers "
+          f"= {per_layer * L:8.1f} us")
+    print(f"lm head + greedy            {head_us:8.1f} us")
+    print(f"attributed step total       {total:8.1f} us")
+    print("compare: bench.py opt-125m weights -> batch*1e3/tok_s ms/step")
+
+
+if __name__ == "__main__":
+    main()
