@@ -158,6 +158,7 @@ class ContinuousBatchingEngine:
         top_k: Optional[int] = None,
         seed: int = 0,
         prefill_chunk: Optional[int] = None,
+        chunks_per_step: int = 1,
         pipeline_depth: int = 1,
     ):
         self.model = model
@@ -182,7 +183,18 @@ class ContinuousBatchingEngine:
         self._prefill_fns: Dict[int, callable] = {}
         self._decode_fns: Dict[int, callable] = {}
         self.prefill_chunk = prefill_chunk
+        # chunks dispatched per prefilling slot per engine step.  Each chunk
+        # stays its own dispatch (the per-dispatch admission stall a resident
+        # decoder can see remains one chunk), but a cadence of
+        # ~burst/prefill_chunk keeps a prefilling slot's prompt consumption
+        # in step with the decoders' token production, so chunked admission
+        # costs ~the same number of engine steps as monolithic admission.
+        self.chunks_per_step = max(1, int(chunks_per_step))
         self._prefilling: Dict[int, _ChunkedPrefill] = {}  # slot -> state
+        # per-step admission-activity counters (serving benches use these to
+        # classify steady-state steps; callers may read, never write)
+        self.last_step_admissions = 0
+        self.last_step_chunks = 0
         self._chunk_fns: Dict[tuple, callable] = {}
         self._finalize_fns: Dict[tuple, callable] = {}
         self._chunk_cache_defs: Dict[int, object] = {}
@@ -387,8 +399,10 @@ class ContinuousBatchingEngine:
         self._prefilling[b] = _ChunkedPrefill(req, cap, state)
 
     def _advance_prefills(self) -> None:
-        """One chunk dispatch per prefilling slot; finished prefills scatter
-        their rows into the slot and join the decode batch next step."""
+        """Up to ``chunks_per_step`` chunk dispatches per prefilling slot
+        (each chunk its OWN dispatch — the per-dispatch stall bound is
+        unchanged); finished prefills scatter their rows into the slot and
+        join the decode batch the same step."""
         if not self._prefilling:
             return
         C = self.prefill_chunk
@@ -398,35 +412,38 @@ class ContinuousBatchingEngine:
         for b in list(self._prefilling):
             st = self._prefilling[b]
             req = st.request
-            ids = np.full((1, C), self.pad_id, np.int32)
-            seg = req.prompt[st.filled : st.filled + C]
-            ids[0, : seg.size] = seg
-            st.cache_state, st.last_logits = self._chunk_fn(st.cap, st.filled)(
-                mstate, st.cache_state, jnp.asarray(ids)
-            )
-            st.filled += C
-            if st.filled < req.prompt.size:
-                continue
-            # final chunk done: sample the boundary token + install the
-            # slot in one dispatch; the token's readback rides _pending
-            pos_in_chunk = req.prompt.size - 1 - (st.filled - C)
-            sampled = req.temperature > 0.0
-            args = (cstate, self._dtoks, self._dtemps, st.cache_state,
-                    jnp.int32(b), jnp.int32(req.prompt.size),
-                    st.last_logits, pos_in_chunk,
-                    np.float32(req.temperature))
-            if sampled:
-                self._key, sub = jax.random.split(self._key)
-                args += (sub,)
-            cstate, self._dtoks, self._dtemps, nxt = (
-                self._finalize_fn(st.cap, sampled)(*args)
-            )
-            self._dstate = (mstate, cstate)
-            slot = self.slots[b]
-            slot.request = req
-            slot.generated = []
-            self._pending.append(("prefill", nxt, b, req.request_id))
-            del self._prefilling[b]
+            for _ in range(self.chunks_per_step):
+                ids = np.full((1, C), self.pad_id, np.int32)
+                seg = req.prompt[st.filled : st.filled + C]
+                ids[0, : seg.size] = seg
+                st.cache_state, st.last_logits = self._chunk_fn(
+                    st.cap, st.filled
+                )(mstate, st.cache_state, jnp.asarray(ids))
+                st.filled += C
+                self.last_step_chunks += 1
+                if st.filled < req.prompt.size:
+                    continue
+                # final chunk done: sample the boundary token + install the
+                # slot in one dispatch; the token's readback rides _pending
+                pos_in_chunk = req.prompt.size - 1 - (st.filled - C)
+                sampled = req.temperature > 0.0
+                args = (cstate, self._dtoks, self._dtemps, st.cache_state,
+                        jnp.int32(b), jnp.int32(req.prompt.size),
+                        st.last_logits, pos_in_chunk,
+                        np.float32(req.temperature))
+                if sampled:
+                    self._key, sub = jax.random.split(self._key)
+                    args += (sub,)
+                cstate, self._dtoks, self._dtemps, nxt = (
+                    self._finalize_fn(st.cap, sampled)(*args)
+                )
+                self._dstate = (mstate, cstate)
+                slot = self.slots[b]
+                slot.request = req
+                slot.generated = []
+                self._pending.append(("prefill", nxt, b, req.request_id))
+                del self._prefilling[b]
+                break
 
     def _admit(self) -> None:
         for b, slot in enumerate(self.slots):
@@ -440,6 +457,7 @@ class ContinuousBatchingEngine:
                 and req.prompt.size > self.prefill_chunk
             ):
                 self._start_chunked(b, req)
+                self.last_step_admissions += 1
                 continue
             bucket = self._bucket_for(req.prompt.size)
             ids = np.full((1, bucket), self.pad_id, np.int32)
@@ -466,6 +484,7 @@ class ContinuousBatchingEngine:
             slot.request = req
             slot.generated = []
             self._pending.append(("prefill", nxt, b, req.request_id))
+            self.last_step_admissions += 1
 
     # ------------------------------------------------------------- decode
 
@@ -587,8 +606,17 @@ class ContinuousBatchingEngine:
         (toks/temps/key) live on device, so the speculative dispatch needs
         nothing from the readback."""
         n_done = len(self.finished)
+        # apply in-flight readbacks past the pipeline depth FIRST: slots
+        # retired by an already-dispatched step free up before THIS step's
+        # admission, and (because the prefill program refreshes the decode
+        # inputs in the same dispatch) the refilled slot joins this step's
+        # decode burst instead of idling one extra burst per turnover
+        while len(self._pending) > self.pipeline_depth:
+            self._apply_oldest()
+        self.last_step_admissions = 0
+        self.last_step_chunks = 0
         self._admit()  # admission installs ride the device-side cstate
-        self._advance_prefills()  # one chunk each, interleaved with decode
+        self._advance_prefills()  # bounded chunks each, interleaved
         if any(s.active for s in self.slots):
             if self._dstate is None:
                 self._dstate = self._split_live()
@@ -603,8 +631,6 @@ class ContinuousBatchingEngine:
                 for b, s in enumerate(self.slots) if s.active
             ]
             self._pending.append(("decode", seq, burst, snapshot))
-        while len(self._pending) > self.pipeline_depth:
-            self._apply_oldest()
         if not (self.queue or self._prefilling):
             # no upstream work left: drain in-flight steps so callers see
             # every result without extra garbage dispatches
@@ -848,6 +874,7 @@ class Seq2SeqBatchingEngine(ContinuousBatchingEngine):
             slot.request = req
             slot.generated = []
             self._pending.append(("prefill", nxt, b, req.request_id))
+            self.last_step_admissions += 1
 
     # ------------------------------------------------------------- decode
 

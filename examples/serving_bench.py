@@ -56,6 +56,9 @@ def main():
     prompt_len = arg("--prompt", 96)
     gen_len = arg("--gen", 64)
     chunk = arg("--chunk", 0) or None  # chunked-prefill admission
+    # chunk cadence: keep prompt consumption in step with a burst-token
+    # decode cadence (each chunk remains its own bounded dispatch)
+    cps = arg("--cps", 0) or (max(1, burst // chunk) if chunk else 1)
     depth = arg("--depth", 1)  # in-flight decode steps (pipelined readback)
 
     cfg = {"opt-125m": OPTConfig.opt_125m, "opt-350m": OPTConfig.opt_350m,
@@ -84,7 +87,7 @@ def main():
     eng = ContinuousBatchingEngine(
         model, max_slots=slots, max_len=prompt_len + gen_len + burst,
         prompt_buckets=(prompt_len,), quantized_kv=quantized_kv,
-        prefill_chunk=chunk, pipeline_depth=depth,
+        prefill_chunk=chunk, chunks_per_step=cps, pipeline_depth=depth,
     )
     prompts = [
         rng.integers(1, cfg.vocab_size, (prompt_len,)).astype(np.int32)
@@ -95,9 +98,12 @@ def main():
     # and a production engine warms up at startup, not per request
     eng.warmup(burst)
 
-    for p in prompts[:slots]:
+    # closed loop via the engine's own queue: everything is enqueued up
+    # front and _admit pulls a waiting request the moment a slot frees
+    # (the old submit-on-finish loop cost every turnover one extra burst
+    # of slot idle time — readback lag + one full engine step)
+    for p in prompts:
         eng.submit(p, max_new_tokens=gen_len)
-    pending = list(prompts[slots:])
 
     def emitted():
         return sum(len(r.tokens) for r in eng.finished) + sum(
@@ -113,19 +119,15 @@ def main():
     total_slot_steps = 0
     t0 = time.perf_counter()
     while (eng.queue or eng._prefilling or eng._pending
-           or any(s.active for s in eng.slots) or pending):
-        admitting = bool(eng.queue) or bool(eng._prefilling)
+           or any(s.active for s in eng.slots)):
         ts = time.perf_counter()
-        done = eng.step(burst)
+        eng.step(burst)
         dt_step = time.perf_counter() - ts
         step_times.append(dt_step)
-        if not admitting:
+        if not (eng.last_step_admissions or eng.last_step_chunks):
             steady_times.append(dt_step)
         busy_slot_steps += sum(1 for s in eng.slots if s.active)
         total_slot_steps += slots
-        for _ in done:
-            if pending:  # closed loop: keep the slots busy
-                eng.submit(pending.pop(), max_new_tokens=gen_len)
     dt = time.perf_counter() - t0
     total_gen = emitted() - base
     st = np.sort(np.asarray(step_times))
@@ -137,6 +139,7 @@ def main():
         "slots": slots,
         "burst": burst,
         "prefill_chunk": chunk,
+        "chunks_per_step": cps if chunk else None,
         "pipeline_depth": depth,
         "prompt_len": prompt_len,
         "gen_len": gen_len,

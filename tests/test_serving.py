@@ -461,7 +461,8 @@ def test_chunked_prefill_interleaves_decode():
     eng = ContinuousBatchingEngine(model, max_slots=2, max_len=64,
                                    prompt_buckets=(8, 24), prefill_chunk=8)
     r0 = eng.submit(resident, max_new_tokens=12)
-    eng.step()  # admit + first token
+    eng.step()  # admit + first token (readback rides the next step:
+    eng.step()  # step() drains in-flight results before admitting)
     assert len(eng.slots[0].generated) >= 1
     r1 = eng.submit(newcomer, max_new_tokens=4)
     # 22-token prompt over chunk=8 -> 3 chunk steps before slot 1 decodes
@@ -527,3 +528,51 @@ def test_warmup_compiles_then_results_unchanged():
     results = {r.request_id: r for r in eng.run()}
     for rid, p in zip(rids, ps):
         assert results[rid].tokens == ref_generate(model, p, 4)
+
+
+def test_chunk_cadence_finishes_admission_in_one_step():
+    """chunks_per_step > 1: a prefilling slot consumes several chunks per
+    engine step (each chunk its own dispatch), so chunked admission costs
+    ~the same number of engine steps as monolithic — with unchanged
+    greedy parity."""
+    model = make_model()
+    resident, newcomer = prompts(5, 22)
+    eng = ContinuousBatchingEngine(model, max_slots=2, max_len=64,
+                                   prompt_buckets=(8, 24), prefill_chunk=8,
+                                   chunks_per_step=3)
+    r0 = eng.submit(resident, max_new_tokens=12)
+    eng.step()
+    r1 = eng.submit(newcomer, max_new_tokens=4)
+    eng.step()  # 22-token prompt = 3 chunks -> all consumed this step
+    assert 1 not in eng._prefilling and eng.slots[1].active
+    assert eng.last_step_chunks == 3
+    results = {r.request_id: r for r in eng.run()}
+    assert results[r0].tokens == ref_generate(model, resident, 12)
+    assert results[r1].tokens == ref_generate(model, newcomer, 4)
+
+
+def test_queue_fed_turnover_readmits_in_drain_step():
+    """A queued request is admitted in the same step() that reads back the
+    retiring slot's final tokens (drain happens before admission), and
+    every request still matches isolated generation."""
+    model = make_model()
+    ps = prompts(5, 6, 7)
+    eng = ContinuousBatchingEngine(model, max_slots=1, max_len=48,
+                                   prompt_buckets=(8,))
+    rids = [eng.submit(p, max_new_tokens=3) for p in ps]
+    turnover_same_step = 0
+    guard = 0
+    while (eng.queue or eng._pending or any(s.active for s in eng.slots)):
+        n_done = len(eng.finished)
+        eng.step()
+        if len(eng.finished) > n_done and eng.last_step_admissions:
+            turnover_same_step += 1
+        guard += 1
+        assert guard < 200
+    results = {r.request_id: r for r in eng.finished}
+    assert len(results) == 3
+    for rid, p in zip(rids, ps):
+        assert results[rid].tokens == ref_generate(model, p, 3)
+    # with a single slot and a waiting queue, at least one turnover must
+    # have retired + readmitted inside one step
+    assert turnover_same_step >= 1
