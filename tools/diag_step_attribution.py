@@ -160,6 +160,23 @@ def main():
     print(f"lm head + greedy            {head_us:8.1f} us")
     print(f"attributed step total       {total:8.1f} us")
     print("compare: bench.py opt-125m weights -> batch*1e3/tok_s ms/step")
+    # committable artifact (VERDICT r4 #6: the breakdown must live in the
+    # tree next to the claim, not in a scrollback)
+    import json
+    out = {
+        "config": "opt-125m weights+int8KV decode, batch 8, ctx ~192",
+        "method": "marginal (1-deep vs 4-deep chained fori_loop, delta/3)",
+        "per_layer_us": {k: round(v, 1) for k, v in comps.items()},
+        "per_layer_sum_us": round(per_layer, 1),
+        "layers": L,
+        "lm_head_greedy_us": round(head_us, 1),
+        "attributed_step_us": round(total, 1),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "STEP_ATTRIBUTION_r05.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
