@@ -101,9 +101,20 @@ def main():
     # closed loop via the engine's own queue: everything is enqueued up
     # front and _admit pulls a waiting request the moment a slot frees
     # (the old submit-on-finish loop cost every turnover one extra burst
-    # of slot idle time — readback lag + one full engine step)
-    for p in prompts:
-        eng.submit(p, max_new_tokens=gen_len)
+    # of slot idle time — readback lag + one full engine step).
+    # --spread varies generation lengths 0.75x-1.25x (deterministic):
+    # uniform lengths make every slot finish in the same step, so
+    # admissions arrive in synchronized waves that idle the whole fleet
+    # at once — real workloads stagger, which is exactly the regime
+    # chunked prefill is for
+    spread = "--spread" in sys.argv
+    n = len(prompts)
+    for i, p in enumerate(prompts):
+        g = (
+            int(gen_len * (0.75 + 0.5 * ((i * 7) % n) / max(n - 1, 1)))
+            if spread else gen_len
+        )
+        eng.submit(p, max_new_tokens=max(g, 1))
 
     def emitted():
         return sum(len(r.tokens) for r in eng.finished) + sum(

@@ -7,6 +7,12 @@
 # host sync (tools/diag_engine_step.py): the engine pipelines the seq
 # readback behind the next dispatch, so throughput approaches the batch
 # decode rate once per-dispatch device time exceeds the round trip.
+#
+# --spread varies per-request generation lengths 0.75x-1.25x: uniform
+# lengths finish every slot in the same step, producing synchronized
+# admission waves no real workload has; the spread staggers turnover,
+# which is the regime continuous batching (and chunked prefill) exists
+# for.  Monolithic and chunked rows use identical workloads.
 set -u
 OUT=${1:-SERVING_r05.json}
 TMP=$(mktemp)
@@ -14,12 +20,11 @@ run() {
   echo ">>> serving_bench.py $*" >&2
   timeout 3600 python examples/serving_bench.py "$@" 2>/dev/null | tail -1 | tee -a "$TMP"
 }
-run opt-125m weights
-run opt-125m weights --burst 32 --gen 128 --requests 48
-run opt-125m weights --burst 64 --gen 128 --requests 48
-run opt-125m weights --chunk 32 --burst 32 --gen 128 --requests 48
-run opt-1.3b weights
-run opt-1.3b weights --chunk 32
+run opt-125m weights --burst 32 --gen 128 --requests 64 --spread
+run opt-125m weights --burst 64 --gen 128 --requests 64 --spread
+run opt-125m weights --chunk 32 --burst 32 --gen 128 --requests 64 --spread
+run opt-1.3b weights --burst 32 --gen 64 --requests 24 --spread
+run opt-1.3b weights --chunk 32 --burst 32 --gen 64 --requests 24 --spread
 python - "$TMP" "$OUT" << 'EOF'
 import json, sys
 rows = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
